@@ -1,0 +1,23 @@
+"""Linear / MLP primitives over explicit parameter pytrees.
+
+Weights are stored (in_dim, out_dim) so application is `x @ w` — the natural
+MXU layout. The torch-checkpoint converter transposes torch's (out, in).
+"""
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
+    y = x @ params["kernel"].astype(x.dtype)
+    if "bias" in params and params["bias"] is not None:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def mlp(params: Dict[str, Dict[str, jax.Array]], x: jax.Array,
+        act: Callable[[jax.Array], jax.Array]) -> jax.Array:
+    """Two-layer MLP: fc1 -> act -> fc2 (dropout in the reference is 0.0)."""
+    return linear(params["fc2"], act(linear(params["fc1"], x)))
