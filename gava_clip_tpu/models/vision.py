@@ -1,0 +1,234 @@
+"""Vita-CLIP vision tower, TPU-native.
+
+Functionally equivalent to the reference CLIPVisionEncoder + its prompt-aware
+TransformerEncoderLayer (training/VitaCLIP_vision_encoder.py:18-132,
+training/VitaCLIP_vision_encoder_utils.py:83-220):
+
+  * per-frame ViT (patch conv, per-frame cls token, learned pos + temporal
+    embeddings with nearest-neighbor resize for frame-count mismatch);
+  * summary token: per-layer attention over the T frame cls tokens, appended
+    to every frame's sequence during self-attention, stripped afterwards;
+  * local prompts: per-layer learned (T, D) tokens, additively conditioned on
+    the projected cls tokens, shared across frames;
+  * global prompts: per-layer learned (G, D) tokens inserted after cls.
+
+TPU-first design decisions:
+  * input layout is channels-last (B, T, H, W, 3) — the natural TPU layout;
+  * the patch conv (stride == kernel) is a pure reshape + one MXU matmul;
+  * all 12 blocks run as one `lax.scan` over stacked weights (single compiled
+    block body, optional remat);
+  * attention softmax in fp32; matmuls in the configured compute dtype;
+  * the broken promptless path of the reference (SURVEY.md §2.8-1) is fixed:
+    every (summary, local, global) combination works here.
+"""
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import layer_norm, multi_head_attention, mlp, quick_gelu
+from ..ops.linear import linear
+from .common import (init_attention, init_layer_norm, init_linear,
+                     prompt_init_limit)
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    input_size: Tuple[int, int] = (224, 224)
+    num_frames: int = 8
+    feature_dim: int = 768
+    patch_size: Tuple[int, int] = (16, 16)
+    heads: int = 12
+    layers: int = 12
+    mlp_factor: float = 4.0
+    embed_dim: int = 512
+    use_summary_token: bool = False
+    use_local_prompts: bool = False
+    use_global_prompts: bool = False
+    num_global_prompts: int = 8
+
+    @property
+    def num_patches(self) -> int:
+        return (self.input_size[0] // self.patch_size[0]) * \
+               (self.input_size[1] // self.patch_size[1])
+
+
+def init_vision_params(rng, cfg: VisionConfig):
+    D = cfg.feature_dim
+    rngs = jax.random.split(rng, 8)
+    patch_dim = cfg.patch_size[0] * cfg.patch_size[1] * 3
+
+    def one_block(r):
+        r1, r2, r3, r4, r5, r6 = jax.random.split(r, 6)
+        blk = {
+            "attn": init_attention(r1, D),
+            "norm1": init_layer_norm(D),
+            "mlp": {"fc1": init_linear(r2, D, round(cfg.mlp_factor * D), bias_std=1e-6),
+                    "fc2": init_linear(r3, round(cfg.mlp_factor * D), D, bias_std=1e-6)},
+            "norm2": init_layer_norm(D),
+        }
+        if cfg.use_summary_token or cfg.use_local_prompts:
+            blk["cls_proj"] = init_linear(r4, D, D, xavier=False)
+        if cfg.use_summary_token:
+            blk["summary_ln"] = init_layer_norm(D)
+            blk["summary_attn"] = init_attention(r5, D)
+        if cfg.use_local_prompts:
+            lim = prompt_init_limit(cfg.patch_size, D)
+            blk["local_prompts"] = jax.random.uniform(
+                r6, (1, cfg.num_frames, D), jnp.float32, -lim, lim)
+        return blk
+
+    block_rngs = jax.random.split(rngs[0], cfg.layers)
+    blocks = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[one_block(r) for r in block_rngs])
+
+    params = {
+        "patch_embed": init_linear(rngs[1], patch_dim, D, xavier=False),
+        "cls_token": 0.02 * jax.random.normal(rngs[2], (D,)),
+        "pos_embed": 0.02 * jax.random.normal(rngs[3], (cfg.num_patches + 1, D)),
+        "time_embed": 0.02 * jax.random.normal(rngs[4], (cfg.num_frames, D)),
+        "blocks": blocks,
+        "ln_pre": init_layer_norm(D),
+        "ln_post": init_layer_norm(D),
+        "proj": (D ** -0.5) * jax.random.normal(rngs[5], (D, cfg.embed_dim)),
+    }
+    if cfg.use_global_prompts:
+        lim = prompt_init_limit(cfg.patch_size, D)
+        params["global_prompts"] = jax.random.uniform(
+            rngs[6], (cfg.layers, cfg.num_global_prompts, D), jnp.float32, -lim, lim)
+    return params
+
+
+def patch_embed(params, x: jax.Array, cfg: VisionConfig) -> jax.Array:
+    """(BT, H, W, 3) -> (BT, N, D) as reshape + one matmul (stride == kernel,
+    so the conv in reference ImagePatchEmbed2D collapses to a GEMM)."""
+    BT, H, W, C = x.shape
+    ph, pw = cfg.patch_size
+    x = x.reshape(BT, H // ph, ph, W // pw, pw, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)                   # (BT, h, w, ph, pw, C)
+    x = x.reshape(BT, (H // ph) * (W // pw), ph * pw * C)
+    return x @ params["kernel"].astype(x.dtype) + params["bias"].astype(x.dtype)
+
+
+def resize_time_embed(time_embed: jax.Array, T: int) -> jax.Array:
+    """Nearest-neighbor resize of (T_train, D) to (T, D), matching
+    F.interpolate(mode='nearest') in reference temporal_encoding
+    (VitaCLIP_vision_encoder.py:86-100)."""
+    T_train = time_embed.shape[0]
+    if T == T_train:
+        return time_embed
+    idx = (jnp.arange(T) * T_train) // T
+    return time_embed[idx]
+
+
+def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str):
+    """One prompt-aware transformer block over per-frame token rows.
+
+    x: (B*T, S, D) where S = 1 + [G] + N. Returns (x, summary|None).
+    Token choreography matches reference TransformerEncoderLayer.forward
+    (VitaCLIP_vision_encoder_utils.py:155-203) with the global-prompt
+    insert/strip of the encoder loop (VitaCLIP_vision_encoder.py:115-121)
+    folded into the same body.
+
+    Note: like the reference (utils:160-162, `T = self.num_frames`), the
+    summary/local grouping always uses the TRAIN-time frame count — an eval
+    clip with T = k * num_frames is treated as k pseudo-videos here.
+    """
+    BT, _, D = x.shape
+    G = cfg.num_global_prompts
+    Tb = cfg.num_frames          # train-time frames (see docstring)
+    Bb = BT // Tb
+
+    if cfg.use_global_prompts:
+        g = jnp.broadcast_to(g_prompt[None].astype(x.dtype), (BT, G, D))
+        x = jnp.concatenate([x[:, :1], g, x[:, 1:]], axis=1)
+
+    summary = None
+    if cfg.use_summary_token or cfg.use_local_prompts:
+        cls = x[:, 0].reshape(Bb, Tb, D)
+        cls_proj = linear(p["cls_proj"], cls)
+
+    if cfg.use_summary_token:
+        s_norm = layer_norm(cls_proj, p["summary_ln"]["scale"], p["summary_ln"]["bias"])
+        summary = cls_proj + multi_head_attention(
+            p["summary_attn"], s_norm, s_norm, s_norm, cfg.heads, impl="xla")
+        x = jnp.concatenate([x, summary.reshape(BT, 1, D)], axis=1)
+
+    n_local = 0
+    if cfg.use_local_prompts:
+        lp = p["local_prompts"].astype(x.dtype) + cls_proj   # (Bb, Tb, D)
+        n_local = Tb
+        # every frame row of a pseudo-video attends over the same Tb prompts
+        lp = jnp.broadcast_to(lp[:, None], (Bb, Tb, n_local, D)).reshape(BT, n_local, D)
+        x = jnp.concatenate([x[:, :1], lp, x[:, 1:]], axis=1)
+
+    xn = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"])
+    x = x + multi_head_attention(p["attn"], xn, xn, xn, cfg.heads, impl=attn_impl)
+
+    if cfg.use_summary_token:
+        x = x[:, :-1]
+    if cfg.use_local_prompts:
+        x = jnp.concatenate([x[:, :1], x[:, 1 + n_local:]], axis=1)
+
+    x = x + mlp(p["mlp"], layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"]),
+                quick_gelu)
+
+    if cfg.use_global_prompts:
+        x = jnp.concatenate([x[:, :1], x[:, 1 + G:]], axis=1)
+    return x, summary
+
+
+def vision_encoder(params, x: jax.Array, cfg: VisionConfig,
+                   compute_dtype=jnp.float32, attn_impl: str = "xla",
+                   remat: bool = False):
+    """Encode video (B, T, H, W, 3) -> (video_features (B, embed_dim),
+    summary (B, feature_dim) | None).
+
+    Equivalent to reference CLIPVisionEncoder.forward
+    (VitaCLIP_vision_encoder.py:102-132): per-frame ViT, cls pooled through
+    ln_post @ proj, mean over frames; summary = last block's summary-token
+    attention output, mean over frames.
+    """
+    B, T, H, W, C = x.shape
+    D = cfg.feature_dim
+    x = x.reshape(B * T, H, W, C).astype(compute_dtype)
+
+    x = patch_embed(params["patch_embed"], x, cfg)
+    cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype)[None, None], (B * T, 1, D))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(x.dtype)
+
+    # temporal embedding (per frame index, broadcast over tokens)
+    te = resize_time_embed(params["time_embed"], T).astype(x.dtype)  # (T, D)
+    x = x + jnp.tile(te, (B, 1))[:, None, :]
+
+    x = layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
+
+    g_prompts = params.get("global_prompts")
+    if g_prompts is None:
+        g_prompts = jnp.zeros((cfg.layers, 0, D), x.dtype)
+
+    Bb, Tb = (B * T) // cfg.num_frames, cfg.num_frames
+
+    def scan_body(carry, layer_params):
+        h, _ = carry
+        p, g = layer_params
+        h, summary = _block(p, g, h, cfg, attn_impl)
+        if summary is None:
+            summary = jnp.zeros((Bb, Tb, D), h.dtype)
+        return (h, summary), None
+
+    body = jax.checkpoint(scan_body) if remat else scan_body
+    init_summary = jnp.zeros((Bb, Tb, D), x.dtype)
+    (x, summary), _ = jax.lax.scan(body, (x, init_summary),
+                                   (params["blocks"], g_prompts))
+
+    cls_x = layer_norm(x[:, 0], params["ln_post"]["scale"], params["ln_post"]["bias"])
+    cls_x = cls_x @ params["proj"].astype(cls_x.dtype)
+    video_features = cls_x.reshape(B, T, cfg.embed_dim).mean(axis=1)
+
+    if cfg.use_summary_token:
+        return video_features, summary.mean(axis=1)
+    return video_features, None

@@ -1,0 +1,137 @@
+"""Logit-level parity of the vision/text towers vs the PyTorch reference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gava_clip_tpu.models.text import TextConfig, encode_text_tokens, init_text_params
+from gava_clip_tpu.models.vision import VisionConfig, init_vision_params, vision_encoder
+from gava_clip_tpu.utils.torch_convert import (convert_text_tower,
+                                               convert_vision_tower)
+from gava_clip_tpu.text import tokenize
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(scope="module")
+def small_text(reference_modules):
+    import torch
+    torch.manual_seed(11)
+    ref = reference_modules["VitaCLIP_text_encoder"].CLIPTextEncoder(
+        embed_dim=32, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=4, transformer_layers=3)
+    # text_projection / positional_embedding are torch.empty -> fill them
+    with torch.no_grad():
+        torch.nn.init.normal_(ref.positional_embedding, std=0.01)
+        torch.nn.init.normal_(ref.text_projection, std=0.02)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = jax.tree_util.tree_map(jnp.asarray, convert_text_tower(sd, 3))
+    cfg = TextConfig(embed_dim=32, width=64, heads=4, layers=3)
+    return ref, params, cfg
+
+
+def test_text_encoder_parity(small_text):
+    import torch
+    ref, params, cfg = small_text
+    tokens = tokenize(["a photo of a cat", "person walking slowly with difficulty"])
+    with torch.no_grad():
+        tt = torch.from_numpy(tokens).long()
+        embeds = ref.token_embedding(tt)
+        want = ref(embeds, tt).numpy()
+    got = np.asarray(encode_text_tokens(params, jnp.asarray(tokens), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def _make_ref_vision(reference_modules, **kw):
+    import torch
+    torch.manual_seed(12)
+    ref = reference_modules["VitaCLIP_vision_encoder"].CLIPVisionEncoder(
+        input_size=(32, 32), num_frames=4, feature_dim=48, patch_size=(16, 16),
+        num_heads=4, num_layers=2, mlp_factor=2.0, embed_dim=24, **kw)
+    ref.eval()
+    return ref
+
+
+def _convert(ref, **cfg_kw):
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = jax.tree_util.tree_map(jnp.asarray, convert_vision_tower(sd, 2))
+    cfg = VisionConfig(input_size=(32, 32), num_frames=4, feature_dim=48,
+                       patch_size=(16, 16), heads=4, layers=2, mlp_factor=2.0,
+                       embed_dim=24, **cfg_kw)
+    return params, cfg
+
+
+def test_vision_encoder_parity_all_prompts(reference_modules):
+    """The flagship configuration: summary + local + global prompts on."""
+    import torch
+    ref = _make_ref_vision(reference_modules, use_summary_token=True,
+                           use_local_prompts=True, use_global_prompts=True,
+                           num_global_prompts=3)
+    params, cfg = _convert(ref, use_summary_token=True, use_local_prompts=True,
+                           use_global_prompts=True, num_global_prompts=3)
+    x = np.random.RandomState(0).randn(2, 4, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        # reference layout: (B, C, T, H, W)
+        want_feat, want_sum = ref(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+    got_feat, got_sum = vision_encoder(params, jnp.asarray(x), cfg)
+    np.testing.assert_allclose(np.asarray(got_feat), want_feat.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_sum), want_sum.numpy(), atol=2e-5)
+
+
+def test_vision_encoder_parity_global_only(reference_modules):
+    import torch
+    ref = _make_ref_vision(reference_modules, use_global_prompts=True,
+                           num_global_prompts=2)
+    params, cfg = _convert(ref, use_global_prompts=True, num_global_prompts=2)
+    x = np.random.RandomState(1).randn(1, 4, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        want_feat, want_sum = ref(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+    got_feat, got_sum = vision_encoder(params, jnp.asarray(x), cfg)
+    np.testing.assert_allclose(np.asarray(got_feat), want_feat.numpy(), atol=2e-5)
+    assert got_sum is None and want_sum is None
+
+
+def test_vision_promptless_path_works():
+    """Reference quirk SURVEY.md §2.8-1 (promptless forward crashes) is fixed."""
+    cfg = VisionConfig(input_size=(32, 32), num_frames=2, feature_dim=32,
+                       patch_size=(16, 16), heads=2, layers=2, embed_dim=16)
+    params = init_vision_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 2, 32, 32, 3))
+    feat, summary = vision_encoder(params, x, cfg)
+    assert feat.shape == (1, 16) and summary is None
+
+
+def test_time_embed_resize_matches_reference(reference_modules):
+    """Eval with T != train T exercises the nearest-neighbor time resize."""
+    import torch
+    ref = _make_ref_vision(reference_modules, use_summary_token=True,
+                           use_local_prompts=True, use_global_prompts=True,
+                           num_global_prompts=2)
+    params, cfg = _convert(ref, use_summary_token=True, use_local_prompts=True,
+                           use_global_prompts=True, num_global_prompts=2)
+    x = np.random.RandomState(2).randn(1, 8, 32, 32, 3).astype(np.float32)  # T=8, train T=4
+    with torch.no_grad():
+        want_feat, _ = ref(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+    got_feat, _ = vision_encoder(params, jnp.asarray(x), cfg)
+    np.testing.assert_allclose(np.asarray(got_feat), want_feat.numpy(), atol=2e-5)
+
+
+def test_init_shapes_match_converted(reference_modules):
+    """Fresh init produces the same pytree structure as torch conversion."""
+    ref = _make_ref_vision(reference_modules, use_summary_token=True,
+                           use_local_prompts=True, use_global_prompts=True,
+                           num_global_prompts=3)
+    params, cfg = _convert(ref, use_summary_token=True, use_local_prompts=True,
+                           use_global_prompts=True, num_global_prompts=3)
+    fresh = init_vision_params(jax.random.PRNGKey(0), cfg)
+    want = jax.tree_util.tree_map(lambda a: a.shape, params)
+    got = jax.tree_util.tree_map(lambda a: a.shape, fresh)
+    assert want == got
+
+    tcfg = TextConfig(embed_dim=32, width=64, heads=4, layers=3)
+    fresh_t = init_text_params(jax.random.PRNGKey(1), tcfg)
+    assert set(fresh_t.keys()) == {"token_embedding", "positional_embedding",
+                                   "blocks", "ln_final", "text_projection"}
