@@ -135,6 +135,60 @@ def convert_text_tower(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
     }
 
 
+def convert_vita_clip(sd: Dict[str, np.ndarray], *, vision_layers: int,
+                      text_layers: int, num_classes: int,
+                      prompt_variant: Optional[str] = None) -> Dict:
+    """Convert a full reference VitaCLIP state dict (``module.`` already
+    stripped) into our parameter pytree.
+
+    prompt_variant: None (no KAPT projector), 'class_uni' (the exercised
+    "split_uni" path — per-class bias-free MLPs, kapt_head.py:126-131), or
+    'plain_uni' (single MLP with bias, kapt_head.py:141-146).
+    """
+    params: Dict = {}
+    vis = strip_prefix(sd, "visual.")
+    if vis:
+        params["visual"] = convert_vision_tower(vis, vision_layers)
+    txt = strip_prefix(sd, "textual.")
+    if txt:
+        params["textual"] = convert_text_tower(txt, text_layers)
+
+    if "prompt_learner.ctx" in sd:
+        prompt: Dict = {"ctx": sd["prompt_learner.ctx"]}
+        pfx = "prompt_learner.context_prompt_learner.projector"
+        if prompt_variant == "class_uni":
+            prompt["projector"] = {
+                "w1": np.stack([sd[f"{pfx}.{c}.0.weight"].T for c in range(num_classes)]),
+                "w2": np.stack([sd[f"{pfx}.{c}.2.weight"].T for c in range(num_classes)]),
+            }
+        elif prompt_variant == "plain_uni":
+            prompt["projector"] = {
+                "w1": sd[f"{pfx}.0.weight"].T, "b1": sd[f"{pfx}.0.bias"],
+                "w2": sd[f"{pfx}.2.weight"].T, "b2": sd[f"{pfx}.2.bias"],
+            }
+        params["prompt"] = prompt
+
+    for scale in ("logit_scale", "logit_bias", "logit_scale_vm",
+                  "logit_scale_mt", "logit_bias_mt"):
+        if scale in sd:
+            params[scale] = sd[scale]
+    if "sum_proj.weight" in sd:
+        params["sum_proj"] = _lin(sd, "sum_proj")
+    if "tf_project.0.weight" in sd:
+        params["tf_project"] = {
+            "fc1": {"kernel": sd["tf_project.0.weight"].T, "bias": sd["tf_project.0.bias"]},
+            "fc2": {"kernel": sd["tf_project.2.weight"].T, "bias": sd["tf_project.2.bias"]},
+        }
+    if "memory_project.0.0.weight" in sd:
+        params["memory_project"] = {
+            "w1": np.stack([sd[f"memory_project.{c}.0.weight"].T for c in range(num_classes)]),
+            "b1": np.stack([sd[f"memory_project.{c}.0.bias"] for c in range(num_classes)]),
+            "w2": np.stack([sd[f"memory_project.{c}.2.weight"].T for c in range(num_classes)]),
+            "b2": np.stack([sd[f"memory_project.{c}.2.bias"] for c in range(num_classes)]),
+        }
+    return params
+
+
 def merge_pytrees(base: Dict, overlay: Dict) -> Dict:
     """Non-strict overlay (reference load_state_dict(strict=False) analogue):
     leaves present in `overlay` replace those in `base`, recursively."""
