@@ -6,10 +6,16 @@ without TPU hardware (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the axon TPU plugin force-prepends itself to jax_platforms; override it
+# before any device initialization so tests run on the virtual CPU mesh
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 
