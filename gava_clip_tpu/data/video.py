@@ -1,0 +1,217 @@
+"""Host-side video decode + frame sampling (cv2/FFmpeg backend).
+
+The reference decodes EVERY frame with PyAV and then samples
+(video_dataset/dataset.py:85-95). Here decode is need-driven: frame indices
+are chosen first and only those frames are converted — and the heavy
+resize/crop runs on uint8 via cv2 SIMD, shipping compact uint8 tensors to
+the device where normalization fuses into the patch-embed matmul.
+"""
+
+import os
+import os.path as osp
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+    cv2.setNumThreads(0)  # thread pool is managed by the loader
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+NUM_COMB = 70
+
+
+def parse_data_list(list_path: str) -> List[Tuple[str, int]]:
+    """`<path>,<label>` per line (reference dataset.py:81-83)."""
+    out = []
+    with open(list_path) as f:
+        for line in f.read().splitlines():
+            if not line.strip():
+                continue
+            path, label = line.rsplit(",", 1)
+            out.append((path, int(label)))
+    return out
+
+
+def parse_classes_file(path: str) -> Tuple[List[str], List[str]]:
+    """Returns (classnames, class_labels). Lines starting with '*' are class
+    labels and their count defines num_classes (reference train.py:187-195,
+    VitaCLIP_model.py:203-205)."""
+    with open(path) as f:
+        lines = [x for x in f.read().strip().split("\n") if x.strip()]
+    classnames = [x for x in lines if x[0] != "*"]
+    labels = [x[1:] for x in lines if x[0] == "*"]
+    return classnames, labels
+
+
+def decode_frames(path: str, indices: Optional[Sequence[int]] = None) -> np.ndarray:
+    """Decode a video to RGB uint8 frames (T, H, W, 3). If `indices` is given,
+    only those (sorted, possibly repeated) frames are returned."""
+    assert cv2 is not None, "OpenCV is required for video decode"
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {path}")
+    frames = []
+    if indices is None:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    else:
+        want = list(indices)
+        decoded = {}
+        need = sorted(set(want))
+        pos = 0
+        idx = 0
+        while need and pos <= need[-1]:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if need and pos == need[0]:
+                decoded[pos] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                need.pop(0)
+            pos += 1
+        if not decoded:
+            raise IOError(f"no frames decoded: {path}")
+        last = max(decoded)
+        frames = [decoded.get(min(i, last), decoded[last]) for i in want]
+    cap.release()
+    return np.stack(frames)
+
+
+def video_num_frames(path: str) -> int:
+    assert cv2 is not None
+    cap = cv2.VideoCapture(path)
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if n <= 0:
+        # fallback: count by decoding
+        n = 0
+        while cap.read()[0]:
+            n += 1
+    cap.release()
+    return n
+
+
+def sample_frame_indices(num_video_frames: int, num_frames: int,
+                         sampling_rate: int, random_sample: bool,
+                         rng: Optional[np.random.RandomState] = None) -> List[int]:
+    """Random/TSN/strided sampling (reference dataset.py:202-217)."""
+    rng = rng or np.random
+    if random_sample:
+        if sampling_rate < 0:  # TSN
+            seg = (num_video_frames - 1) / num_frames
+            return [int(rng.randint(round(seg * i), round(seg * (i + 1)) + 1))
+                    for i in range(num_frames)]
+        if sampling_rate * (num_frames - 1) + 1 >= num_video_frames:
+            out = []
+            for i in range(num_frames):
+                out.append(i * sampling_rate if i * sampling_rate < num_video_frames
+                           else out[-1])
+            return out
+        start = int(rng.randint(num_video_frames - sampling_rate * (num_frames - 1)))
+        return list(range(start, start + sampling_rate * num_frames, sampling_rate))
+    raise ValueError("use temporal_crop_indices for deterministic sampling")
+
+
+def temporal_crop_indices(num_video_frames: int, num_frames: int,
+                          sampling_rate: int, num_temporal_views: int) -> List[List[int]]:
+    """Deterministic temporal crops incl. last-frame padding
+    (reference _generate_temporal_crops, dataset.py:160-175)."""
+    seg_len = (num_frames - 1) * sampling_rate + 1
+    padded_len = max(num_video_frames, seg_len)
+    slide = padded_len - seg_len
+    crops = []
+    for i in range(num_temporal_views):
+        st = slide // 2 if num_temporal_views == 1 else round(
+            slide / (num_temporal_views - 1) * i)
+        idx = [min(st + k * sampling_rate, num_video_frames - 1)
+               for k in range(num_frames)]
+        crops.append(idx)
+    return crops
+
+
+def keep_aspect_resize(frames: np.ndarray, spatial_size: int,
+                       interpolation=None) -> np.ndarray:
+    """Short-side resize on uint8 frames (reference dataset.py:124-133),
+    cv2 bilinear ~ torch align_corners=False."""
+    assert cv2 is not None
+    interpolation = interpolation or cv2.INTER_LINEAR
+    T, H, W, C = frames.shape
+    if H < W:
+        new_h, new_w = spatial_size, W * spatial_size // H
+    else:
+        new_h, new_w = H * spatial_size // W, spatial_size
+    out = np.empty((T, new_h, new_w, C), frames.dtype)
+    for t in range(T):
+        out[t] = cv2.resize(frames[t], (new_w, new_h), interpolation=interpolation)
+    return out
+
+
+def center_crop(frames: np.ndarray, size: int) -> np.ndarray:
+    H, W = frames.shape[1:3]
+    h0 = (H - size) // 2
+    w0 = (W - size) // 2
+    return frames[:, h0:h0 + size, w0:w0 + size]
+
+
+def spatial_crops(frames: np.ndarray, size: int, num_views: int) -> List[np.ndarray]:
+    """1 center crop or 3 sliding crops (reference dataset.py:178-199)."""
+    H, W = frames.shape[1:3]
+    if num_views == 1:
+        assert min(H, W) >= size
+        return [center_crop(frames, size)]
+    if num_views == 3:
+        assert min(H, W) == size
+        margin = max(H, W) - size
+        crops = []
+        for st in (0, margin // 2, margin):
+            if H > W:
+                crops.append(frames[:, st:st + size, :])
+            else:
+                crops.append(frames[:, :, st:st + size])
+        return crops
+    raise NotImplementedError(num_views)
+
+
+def random_resized_crop_params(height: int, width: int,
+                               scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0),
+                               rng: Optional[np.random.RandomState] = None,
+                               max_tries: int = 10) -> Tuple[int, int, int, int]:
+    """Inception-style crop box (reference transform.py _get_param_spatial_crop
+    semantics: area/log-ratio sampling with center fallback)."""
+    rng = rng or np.random
+    area = height * width
+    for _ in range(max_tries):
+        target_area = float(rng.uniform(*scale)) * area
+        ar = float(np.exp(rng.uniform(np.log(ratio[0]), np.log(ratio[1]))))
+        w = int(round(np.sqrt(target_area * ar)))
+        h = int(round(np.sqrt(target_area / ar)))
+        if 0 < w <= width and 0 < h <= height:
+            i = int(rng.randint(0, height - h + 1))
+            j = int(rng.randint(0, width - w + 1))
+            return i, j, h, w
+    # fallback: center crop at in-range aspect
+    in_ratio = width / height
+    if in_ratio < ratio[0]:
+        w, h = width, int(round(width / ratio[0]))
+    elif in_ratio > ratio[1]:
+        h, w = height, int(round(height * ratio[1]))
+    else:
+        w, h = width, height
+    return (height - h) // 2, (width - w) // 2, h, w
+
+
+def random_resized_crop(frames: np.ndarray, size: int,
+                        scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0),
+                        rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """Temporally-consistent random resized crop on uint8 frames."""
+    i, j, h, w = random_resized_crop_params(frames.shape[1], frames.shape[2],
+                                            scale, ratio, rng)
+    cropped = frames[:, i:i + h, j:j + w]
+    out = np.empty((frames.shape[0], size, size, frames.shape[3]), frames.dtype)
+    for t in range(cropped.shape[0]):
+        out[t] = cv2.resize(cropped[t], (size, size), interpolation=cv2.INTER_LINEAR)
+    return out
