@@ -1,0 +1,279 @@
+"""Training driver — the TPU-native counterpart of reference training/train.py.
+
+Reproduces the driver behavior: class count from '*' lines, per-fold LOSO
+loop with data-root remapping, AdamW + cosine schedule, loss composition
+(CE x focal-ordinal + memory + NTE), periodic eval with confusion-matrix
+macro-F1 best-model selection, checkpoints carrying text_features, per-fold
+and aggregate reports (results.txt, confusion matrices), config.yaml dump.
+
+TPU-native execution model: one jitted train step (forward+losses+grads+
+AdamW) over a 'data'-sharded mesh; metric all-reduces are implicit; uint8
+frames are normalized on-device.
+"""
+
+import argparse
+import os
+import os.path as osp
+import time
+from datetime import datetime
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data.device_preprocess import DEFAULT_MEAN, DEFAULT_STD, normalize_frames
+from ..data.loader import (LoaderConfig, create_memory_loader,
+                           create_train_loader, create_val_loader)
+from ..data.video import parse_classes_file
+from ..models.factory import build_model_from_args
+from ..train import checkpoint as ckpt_lib
+from ..train.metrics import f1_from_confusion, summary_from_confusion
+from ..train.state import create_train_state, make_optimizer
+from ..train.step import LossConfig, make_train_step
+from ..utils.config import (build_train_parser, remap_fold_data_root,
+                            save_config)
+
+
+def _log(msg: str):
+    print(f"[{datetime.now().time()}] {msg}", flush=True)
+
+
+def loader_config_from_args(args) -> LoaderConfig:
+    return LoaderConfig(
+        train_list_path=args.train_list_path, val_list_path=args.val_list_path,
+        eval_list_path=args.eval_list_path, data_root=args.data_root,
+        train_data_root=args.train_data_root, val_data_root=args.val_data_root,
+        eval_data_root=args.eval_data_root, batch_size=args.batch_size,
+        num_frames=args.num_frames, sampling_rate=args.sampling_rate,
+        tsn_sampling=args.tsn_sampling, spatial_size=args.spatial_size,
+        num_spatial_views=args.num_spatial_views,
+        num_temporal_views=args.num_temporal_views,
+        mean=args.mean, std=args.std, auto_augment=args.auto_augment,
+        mirror=args.mirror, use_support_memory=args.use_support_memory,
+        memory_data_path=args.memory_data_path,
+        mem_batch_size=args.mem_batch_size, for_zero_shot=args.for_zero_shot,
+        num_workers=args.num_workers, dummy_dataset=args.dummy_dataset,
+        add_nte=args.add_nte, num_steps=args.num_steps or 0,
+        type=args.type, nfold=args.nfold, embed_dim=args.embed_dim)
+
+
+def _mean_std(args):
+    def norm3(v, default):
+        if v is None:
+            return (default,) * 3
+        return tuple(v * 3) if len(v) == 1 else tuple(v)
+    return norm3(args.mean, 0.45), norm3(args.std, 0.225)
+
+
+def evaluate(model, params, loader, num_classes: int, mean, std,
+             compute_dtype, batch_size: int) -> tuple:
+    """Eval loop accumulating a host-side confusion matrix.
+
+    Batches are padded to `batch_size` to keep one compiled shape; the pad
+    rows are sliced off on host. Mirrors reference evaluate (train.py:646-688).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def forward(params, video_u8):
+        video = normalize_frames(video_u8, mean, std, compute_dtype=jnp.float32)
+        out = model.apply(params, model.buffers, video,
+                          compute_dtype=compute_dtype)
+        return jnp.argmax(out["logits"], axis=-1)
+
+    conf = np.zeros((num_classes, num_classes), np.int64)
+    tot = hit1 = 0
+    for batch in loader:
+        video = batch["video"]
+        n = video.shape[0]
+        if n < batch_size:
+            pad = np.repeat(video[-1:], batch_size - n, axis=0)
+            video = np.concatenate([video, pad], axis=0)
+        preds = np.asarray(forward(params, jnp.asarray(video)))[:n]
+        labels = np.asarray(batch["labels"])[:n]
+        np.add.at(conf, (labels, preds), 1)
+        tot += n
+        hit1 += int((preds == labels).sum())
+        if tot % 20 == 0:
+            _log(f"[Evaluation] num_samples: {tot}  "
+                 f"cumulative_acc1: {hit1 / tot * 100.:.2f}%")
+    acc = hit1 / max(tot, 1) * 100
+    _log(f"Accuracy on validation set: top1={acc:.2f}%")
+    return acc, conf
+
+
+def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
+                   logdir: Optional[str]) -> tuple:
+    import jax
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    mean, std = _mean_std(args)
+
+    from ..models.vita_clip import trainable_mask
+    model = build_model_from_args(args, num_classes, classnames=classnames)
+    mask = trainable_mask(model.params, model.cfg)
+    optimizer = make_optimizer(args.lr, args.num_steps, args.weight_decay)
+    state = create_train_state(model.params, mask, optimizer)
+
+    state, resume_step, _ = ckpt_lib.resume_from_checkpoint(state, mask, args)
+
+    lcfg = loader_config_from_args(args)
+    val_loader = create_val_loader(lcfg)
+    train_loader = create_train_loader(lcfg, resume_step=resume_step)
+    memory_loader = create_memory_loader(lcfg, resume_step=resume_step)
+
+    loss_cfg = LossConfig(
+        num_classes=num_classes,
+        focal_ordinal=args.focal_ordinal_loss,
+        fo_beta=0.2 if "updrs" in args.type else 0.0,
+        sigmoid_loss=args.sigmoid_loss,
+        use_support_memory=args.use_support_memory,
+        add_nte=args.add_nte,
+        memory_loss_weight=args.memory_loss_weight,
+        vnte_loss_weight=args.vnte_loss_weight)
+
+    step_fn = make_train_step(model, loss_cfg, optimizer,
+                              batch_split=args.batch_split,
+                              compute_dtype=compute_dtype, donate=False)
+
+    @jax.jit
+    def text_features_fn(params):
+        out = model.apply(params, model.buffers,
+                          jnp.zeros((1, args.num_frames, args.spatial_size,
+                                     args.spatial_size, 3), jnp.float32),
+                          compute_dtype=compute_dtype)
+        return out["text_features"]
+
+    writer = None
+    if logdir:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            writer = SummaryWriter(log_dir=osp.join(logdir, f"fold_{fold}"))
+        except ImportError:
+            pass
+        args.checkpoint_dir = osp.join(logdir, f"fold_{fold}")
+
+    best_perf, best_acc = 0.0, 0.0
+    save_conf = np.zeros((num_classes, num_classes), np.int64)
+    batch_st = train_st = time.time()
+
+    for i, (batch, mem_batch) in enumerate(zip(train_loader, memory_loader),
+                                           start=resume_step):
+        device_batch = {
+            "video": normalize_frames(jnp.asarray(batch["video"]), mean, std),
+            "labels": jnp.asarray(batch["labels"]),
+        }
+        if args.add_nte:
+            device_batch["nte"] = jnp.asarray(batch["nte"])
+        if args.use_support_memory:
+            device_batch["memory"] = jnp.asarray(mem_batch["memory"])
+            device_batch["mt_labels"] = jnp.asarray(mem_batch["mt_labels"])
+        data_ed = time.time()
+
+        state, metrics = step_fn(state, device_batch)
+
+        if i % args.print_freq == 0:
+            loss_v = float(metrics["loss"])
+            acc1 = float(metrics["acc1"])
+            batch_ed = time.time()
+            txt = (f"step {i}  batch_time: {batch_ed - batch_st:.3f}  "
+                   f"data_time: {data_ed - batch_st:.3f}  "
+                   f"loss: {loss_v:.6f}  acc1: {acc1 * 100:.2f}%")
+            if "loss_mt" in metrics:
+                txt += f"  loss_mt: {float(metrics['loss_mt']):.6f}"
+            if "loss_vm" in metrics:
+                txt += f"  loss_vm: {float(metrics['loss_vm']):.6f}"
+            _log(txt)
+            if writer is not None:
+                writer.add_scalar("train/accuracy", acc1, i + 1)
+                writer.add_scalar("train/loss", loss_v, i + 1)
+
+        if (i + 1) % args.eval_freq == 0:
+            _log(f"Start model evaluation at step {i + 1}")
+            params = state.params
+            eval_acc, conf = evaluate(model, params, val_loader, num_classes,
+                                      mean, std, compute_dtype, args.batch_size)
+            eval_perf = float(f1_from_confusion(conf).mean())
+            if writer is not None:
+                writer.add_scalar("test/accuracy", eval_acc, i + 1)
+            if eval_perf >= best_perf:
+                best_perf, best_acc = eval_perf, eval_acc
+                save_conf = conf
+                tf = np.asarray(text_features_fn(params)) \
+                    if args.use_text_prompt_learning else None
+                ckpt_lib.save_checkpoint(args.checkpoint_dir, state, i + 1,
+                                         text_features=tf, is_best=True,
+                                         name=f"fold-{fold}")
+
+        if (i + 1) % args.save_freq == 0:
+            tf = np.asarray(text_features_fn(state.params)) \
+                if args.use_text_prompt_learning else None
+            ckpt_lib.save_checkpoint(args.checkpoint_dir, state, i + 1,
+                                     text_features=tf)
+        batch_st = time.time()
+
+    if writer is not None:
+        writer.close()
+    return best_acc, save_conf
+
+
+def main(argv=None):
+    parser = build_train_parser()
+    args = parser.parse_args(argv)
+
+    classnames, cls_labels = parse_classes_file(args.text_prompt_classes_path)
+    num_classes = len(cls_labels)
+
+    logdir = None
+    all_conf = np.zeros((num_classes, num_classes), np.int64)
+    performances = []
+    if not args.eval_only:
+        root_tag = osp.basename(args.data_root.rstrip("/")) if args.data_root else ""
+        postfix = ("_" + root_tag + "_") if root_tag else ""
+        if args.text_prompt_init:
+            postfix += args.text_prompt_init.replace("_", "-") + "_" + \
+                "-".join(args.knowledge_version)
+        postfix += "_NTE" if args.use_support_memory else ""
+        postfix += "_clL" if args.add_nte else ""
+        if postfix and postfix[0] != "_":
+            postfix = "_" + postfix
+        logdir = (f"./logs/{args.type.lower()}"
+                  f"{'-zs' if args.for_zero_shot else ''}_"
+                  f"{time.strftime('%m%d-%H%M')}{postfix}/")
+        os.makedirs(logdir, exist_ok=True)
+        save_config(args, osp.join(logdir, "config.yaml"))
+        result_file = osp.join(logdir, "results.txt")
+
+    for n in range(args.nfold):
+        if not args.eval_only:
+            remap_fold_data_root(args, n)
+        best_acc, conf = train_one_fold(args, n, classnames, num_classes, logdir)
+        performances.append(best_acc)
+        all_conf += conf
+        if logdir:
+            np.savetxt(osp.join(logdir, f"confusion_matrix_fold-{n}.txt"),
+                       conf, fmt="%d")
+            with open(result_file, "w") as f:
+                f.write(" ".join(f"fold-{i} {x}" for i, x in enumerate(performances)))
+
+    if logdir:
+        s = summary_from_confusion(all_conf)
+        min_max = (max(performances) - min(performances)) if performances else 0.0
+        with open(result_file, "a") as f:
+            f.write(f"\nTotal average accuracy for {args.nfold}-fold "
+                    f"{args.type}: {np.mean(performances):.4f}")
+            f.write("\nF1-score per class: " +
+                    " ".join(f"{x:.4f}" for x in s["f1_per_class"]))
+            f.write(f"\nPrecision: {s['precision']:.4f}")
+            f.write(f"\nRecall: {s['recall']:.4f}")
+            f.write(f"\nAverage F1-score: {s['f1_mean']:.4f}")
+            f.write("\nWeighted F1-score per class: " +
+                    " ".join(f"{x:.4f}" for x in s["wf1_per_class"]))
+            f.write(f"\nAverage weighted F1-score: {s['wf1_sum']:.4f}")
+            f.write(f"\nMin-Max difference: {min_max:.4f}")
+        _log(f"Total average accuracy: {np.mean(performances):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,7 @@ class VideoDatasetConfig:
     add_nte: bool = False
     cls_type: str = ""
     num_folds: int = 1
+    nte_dim: int = 512
 
 
 class VideoDataset:
@@ -73,7 +74,7 @@ class VideoDataset:
         p = osp.join(self.nte_root, npy_fn)
         if osp.isfile(p):
             return np.load(p).astype(np.float32)
-        return np.zeros((NUM_COMB, 512), np.float32)
+        return np.zeros((NUM_COMB, self.cfg.nte_dim), np.float32)
 
     def __getitem__(self, idx: int):
         cfg = self.cfg
@@ -105,17 +106,19 @@ class VideoDataset:
         if cfg.is_train:
             frames_out = views[0]  # reference keeps view 0 (dataset.py:139)
             nte = self._load_nte(rel_path) if cfg.add_nte else np.zeros(
-                (NUM_COMB, 512), np.float32)
+                (NUM_COMB, cfg.nte_dim), np.float32)
             return frames_out, label, nte
         vidname = osp.basename(path).split(".")[0]
-        return views[0] if views.shape[0] == 1 else views, label, vidname
+        # the reference keeps only view 0 in all eval modes too
+        # (dataset.py:137-139 — the multi-view stack is commented out)
+        return views[0], label, vidname
 
 
 class DummyDataset:
     """All-zero videos for speed tests (reference dataset.py:220-236)."""
 
     def __init__(self, list_path: str, num_frames: int, num_views: int,
-                 spatial_size: int):
+                 spatial_size: int, nte_dim: int = 512):
         if list_path and osp.isfile(list_path):
             with open(list_path) as f:
                 self._len = len(f.read().splitlines())
@@ -124,6 +127,7 @@ class DummyDataset:
         self.num_frames = num_frames
         self.num_views = num_views
         self.spatial_size = spatial_size
+        self.nte_dim = nte_dim
 
     def __len__(self):
         return self._len
@@ -133,7 +137,7 @@ class DummyDataset:
         if self.num_views != 1:
             shape = (self.num_views,) + shape
         return (np.zeros(shape, np.uint8), 0,
-                np.zeros((NUM_COMB, 512), np.float32))
+                np.zeros((NUM_COMB, self.nte_dim), np.float32))
 
 
 class DummyMemoDataset:

@@ -139,7 +139,8 @@ def _collate_memory(dataset, idxs):
 def create_train_loader(cfg: LoaderConfig, resume_step: int = 0,
                         rank: int = 0, world_size: int = 1):
     if cfg.dummy_dataset:
-        ds = DummyDataset(cfg.train_list_path, cfg.num_frames, 1, cfg.spatial_size)
+        ds = DummyDataset(cfg.train_list_path, cfg.num_frames, 1,
+                          cfg.spatial_size, nte_dim=cfg.embed_dim)
     else:
         ds = VideoDataset(VideoDatasetConfig(
             list_path=cfg.train_list_path,
@@ -149,7 +150,7 @@ def create_train_loader(cfg: LoaderConfig, resume_step: int = 0,
             num_frames=cfg.num_frames,
             sampling_rate=-1 if cfg.tsn_sampling else cfg.sampling_rate,
             spatial_size=cfg.spatial_size, mirror=False, auto_augment=None,
-            is_train=True, add_nte=cfg.add_nte))
+            is_train=True, add_nte=cfg.add_nte, nte_dim=cfg.embed_dim))
     grid = step_sampler(len(ds), cfg.num_steps, cfg.batch_size,
                         rank=rank, world_size=world_size, resume_step=resume_step)
     return _Prefetcher(lambda idxs: _collate_video(ds, idxs), list(grid),

@@ -201,7 +201,11 @@ class VitaClip:
             sum_proj = _l2norm(sum_proj)
             valid = (video_nte.sum(axis=(-1, -2)) != 0).astype(jnp.float32)
             valid_mat = jax.lax.stop_gradient(valid[:, None] * valid[None, :])
-            nte = _l2norm(video_nte.astype(jnp.float32))
+            # safe norm: all-zero NTE rows (missing .npy) stay zero instead of
+            # 0/0=NaN — they are masked by valid_mat anyway; identical result
+            # for present NTEs (the reference would NaN here, dataset.py:152)
+            nte32 = video_nte.astype(jnp.float32)
+            nte = nte32 / jnp.maximum(jnp.linalg.norm(nte32, axis=-1, keepdims=True), 1e-12)
             # mean over the NUM_COMB combination rows of <sum_i, nte_{j,m}>
             similarity = jnp.einsum("ie,jme->ij", sum_proj, nte) / nte.shape[1]
             logits_mat = params["logit_scale_vm"] * (similarity * valid_mat)

@@ -1,0 +1,41 @@
+"""Metric definitions reproduced exactly from the reference driver:
+macro-F1 with +1e-8 guard (train.py:538-541), weighted F1 (train.py:619-628),
+precision/recall as nanmean of confusion-matrix ratios (train.py:625-626)."""
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def f1_from_confusion(conf_mat: np.ndarray, eps: float = 1e-8) -> np.ndarray:
+    c = conf_mat.shape[0]
+    f1 = np.zeros(c)
+    for ci in range(c):
+        f1[ci] = 2 * conf_mat[ci, ci] / (conf_mat[ci, :].sum()
+                                         + conf_mat[:, ci].sum() + eps)
+    return f1
+
+
+def summary_from_confusion(conf_mat: np.ndarray) -> Dict[str, object]:
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f1 = np.zeros(conf_mat.shape[0])
+        wf1 = np.zeros(conf_mat.shape[0])
+        weights = conf_mat.sum(axis=1) / conf_mat.sum()
+        for ci in range(conf_mat.shape[0]):
+            denom = conf_mat[ci, :].sum() + conf_mat[:, ci].sum()
+            f1[ci] = 2 * conf_mat[ci, ci] / denom if denom else np.nan
+            wf1[ci] = f1[ci] * weights[ci]
+        precision = np.nanmean(np.diag(conf_mat) / conf_mat.sum(axis=0))
+        recall = np.nanmean(np.diag(conf_mat) / conf_mat.sum(axis=1))
+    f1 = np.nan_to_num(f1, nan=0.0)
+    wf1 = np.nan_to_num(wf1, nan=0.0)
+    acc = np.trace(conf_mat) / max(conf_mat.sum(), 1)
+    return {
+        "accuracy": float(acc),
+        "f1_per_class": f1,
+        "f1_mean": float(f1.mean()),
+        "wf1_per_class": wf1,
+        "wf1_sum": float(wf1.sum()),
+        "precision": float(precision),
+        "recall": float(recall),
+    }
