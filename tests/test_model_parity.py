@@ -129,7 +129,6 @@ def test_train_forward_parity(ref_env):
     x = rs.randn(2, 4, 32, 32, 3).astype(np.float32)
     memory = rs.randn(5, 6, 64).astype(np.float32)
     nte = rs.randn(2, 70, 64).astype(np.float32)
-    nte[1] = 0.0  # exercise the validity mask
 
     with torch.no_grad():
         want_logits, want_mt, want_vm = ref(
@@ -147,12 +146,15 @@ def test_train_forward_parity(ref_env):
                                rtol=1e-4, atol=2e-3)
     got_vm = np.asarray(out["logits_vm"])
     want_vm = want_vm.numpy()
-    # sample 1 has an all-zero NTE: the reference NaNs those entries
-    # (0/0 in the norm, dataset.py:152); we keep them finite by design.
-    assert np.isfinite(got_vm).all()
-    valid = np.isfinite(want_vm)
-    assert valid[0, 0]  # the fully-valid entry is comparable
-    np.testing.assert_allclose(got_vm[valid], want_vm[valid], rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(got_vm, want_vm, rtol=1e-4, atol=2e-3)
+
+    # an all-zero NTE (missing .npy) must stay finite in our framework —
+    # the reference would NaN on the 0/0 norm; we mask it instead.
+    nte0 = nte.copy()
+    nte0[1] = 0.0
+    out0 = model.apply(params, model.buffers, jnp.asarray(x),
+                       memory=jnp.asarray(memory), video_nte=jnp.asarray(nte0))
+    assert np.isfinite(np.asarray(out0["logits_vm"])).all()
 
 
 def test_zero_shot_forward_parity(ref_env, tmp_path):
