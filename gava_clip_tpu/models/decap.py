@@ -1,0 +1,199 @@
+"""DeCap gait-caption decoder: a small GPT-2-style LM with a CLIP-prefix
+projector and a number-token vocabulary extension.
+
+Rebuild of the reference decoder (training/decoder_train.py:120-168): a
+4-layer/4-head width-768 causal transformer whose vocabulary is the CLIP BPE
+vocab (49408) extended with 500 number tokens; `clip_project` is a
+bottleneck MLP 512 -> 256 -> 768 whose output is prepended as a prefix
+token. The LM head is weight-tied to the token embedding.
+
+Training loss (decoder_train.py:214-215, :262-278): token CE with ignore
+index 0 and label smoothing 0.1, plus an ordinal-weighted CE on the number
+tokens (ordinal distance measured inside the number sub-vocabulary).
+
+Greedy decoding with number interception/de-scaling lives in
+cli/decode.py (reference training/decode.py:88-182).
+"""
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import layer_norm, multi_head_attention
+from ..ops.linear import linear
+from .common import init_attention, init_layer_norm, init_linear
+
+BASE_VOCAB = 49408
+NUM_TOKENS = 500
+
+
+@dataclass(frozen=True)
+class DecapConfig:
+    vocab_size: int = BASE_VOCAB + NUM_TOKENS
+    n_layer: int = 4
+    n_head: int = 4
+    n_embd: int = 768
+    n_positions: int = 128
+    prefix_size: int = 512
+    base_vocab: int = BASE_VOCAB
+
+
+def gelu_new(x: jax.Array) -> jax.Array:
+    """GPT-2 tanh-approximated GELU."""
+    return 0.5 * x * (1.0 + jnp.tanh(
+        np.sqrt(2.0 / np.pi) * (x + 0.044715 * jnp.power(x, 3.0))))
+
+
+def init_decap_params(rng, cfg: DecapConfig = DecapConfig()) -> Dict:
+    rngs = jax.random.split(rng, 8)
+    D = cfg.n_embd
+
+    def one_block(r):
+        r1, r2, r3 = jax.random.split(r, 3)
+        return {
+            "ln_1": init_layer_norm(D),
+            "attn": init_attention(r1, D),
+            "ln_2": init_layer_norm(D),
+            "mlp": {"fc1": init_linear(r2, D, 4 * D),
+                    "fc2": init_linear(r3, 4 * D, D)},
+        }
+
+    block_rngs = jax.random.split(rngs[0], cfg.n_layer)
+    blocks = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[one_block(r) for r in block_rngs])
+    return {
+        "wte": 0.02 * jax.random.normal(rngs[1], (cfg.vocab_size, D)),
+        "wpe": 0.01 * jax.random.normal(rngs[2], (cfg.n_positions, D)),
+        "blocks": blocks,
+        "ln_f": init_layer_norm(D),
+        "clip_project": {
+            "fc1": init_linear(rngs[3], cfg.prefix_size, D // 3, xavier=False),
+            "fc2": init_linear(rngs[4], D // 3, D, xavier=False),
+        },
+    }
+
+
+def project_prefix(params: Dict, clip_features: jax.Array) -> jax.Array:
+    """Bottleneck prefix projector with Tanh (decoder_train MLP)."""
+    h = jnp.tanh(linear(params["clip_project"]["fc1"], clip_features))
+    return linear(params["clip_project"]["fc2"], h)
+
+
+def decap_transformer(params: Dict, embeds: jax.Array, cfg: DecapConfig) -> jax.Array:
+    """Causal transformer over input embeddings (B, L, D) -> hidden states."""
+    L = embeds.shape[1]
+    mask = jnp.triu(jnp.full((L, L), -jnp.inf), k=1)
+    x = embeds + params["wpe"][:L].astype(embeds.dtype)
+
+    def block_fn(h, p):
+        hn = layer_norm(h, p["ln_1"]["scale"], p["ln_1"]["bias"])
+        h = h + multi_head_attention(p["attn"], hn, hn, hn, cfg.n_head, mask=mask)
+        hn = layer_norm(h, p["ln_2"]["scale"], p["ln_2"]["bias"])
+        h = h + linear(p["mlp"]["fc2"], gelu_new(linear(p["mlp"]["fc1"], hn)))
+        return h, None
+
+    x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+    return layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"])
+
+
+def decap_forward(params: Dict, clip_features: jax.Array, tokens: jax.Array,
+                  cfg: DecapConfig = DecapConfig()) -> jax.Array:
+    """(B, prefix_size) clip features + (B, L) tokens -> (B, 1+L, V) logits.
+    The projected prefix occupies position 0 (decoder_train.py:161-167)."""
+    tok_emb = jnp.take(params["wte"], tokens, axis=0)
+    prefix = project_prefix(params, clip_features)[:, None, :]
+    h = decap_transformer(params, jnp.concatenate([prefix, tok_emb], axis=1), cfg)
+    return h @ params["wte"].T
+
+
+def smoothed_ce(logits: jax.Array, targets: jax.Array,
+                smoothing: float = 0.1) -> jax.Array:
+    """Per-token CE with label smoothing (torch CrossEntropyLoss formula)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    smooth = -logp.mean(axis=-1)
+    return (1.0 - smoothing) * nll + smoothing * smooth
+
+
+def decap_loss(params: Dict, clip_features: jax.Array, tokens: jax.Array,
+               cfg: DecapConfig = DecapConfig()) -> Tuple[jax.Array, Dict]:
+    """Token CE (ignore 0, smoothing .1) + ordinal-weighted CE on number
+    tokens (decoder_train.py:262-278). tokens: (B, L) int32."""
+    from ..train.losses import focal_ordinal_weight
+    logits = decap_forward(params, clip_features, tokens, cfg)[:, :-1]
+    flat_logits = logits.reshape(-1, cfg.vocab_size)
+    flat_tokens = tokens.reshape(-1)
+
+    tok_loss = smoothed_ce(flat_logits, flat_tokens)
+    valid = (flat_tokens != 0).astype(jnp.float32)
+    # reference CrossEntropyLoss(ignore_index=0) then .mean() over valid only
+    loss_token = (tok_loss * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+
+    is_num = (flat_tokens >= cfg.base_vocab).astype(jnp.float32)
+    num_logits = flat_logits[:, cfg.base_vocab:]
+    num_targets = jnp.clip(flat_tokens - cfg.base_vocab, 0, NUM_TOKENS - 1)
+    ow = focal_ordinal_weight(num_logits, num_targets, gamma=2.0, alpha=0.0,
+                              beta=0.2)
+    loss_number = (ow * tok_loss * is_num).sum() / jnp.maximum(is_num.sum(), 1.0)
+
+    loss = loss_token + loss_number
+    acc = (((flat_logits.argmax(-1) == flat_tokens) * valid).sum()
+           / jnp.maximum(valid.sum(), 1.0))
+    return loss, {"loss_token": loss_token, "loss_number": loss_number,
+                  "acc": acc}
+
+
+def make_greedy_step(params: Dict, cfg: DecapConfig = DecapConfig(),
+                     max_len: int = 78):
+    """Fixed-shape greedy step: one compile for all positions. Returns
+    step(embed_buf (1, max_len, D), pos) -> next-token id at `pos`."""
+
+    @jax.jit
+    def step(embed_buf, pos):
+        h = decap_transformer(params, embed_buf, cfg)
+        logits = (h @ params["wte"].T)[0, pos]
+        return jnp.argmax(logits, axis=-1)
+
+    return step
+
+
+def greedy_decode(params: Dict, clip_feature: np.ndarray,
+                  cfg: DecapConfig = DecapConfig(),
+                  max_len: int = 77) -> Tuple[list, list]:
+    """Greedy decode one prefix; returns (token_ids with number tokens
+    replaced by '?' (286), raw number values). Mirrors decode.py:88-125;
+    runs one fixed-shape jitted forward per step."""
+    import jax.numpy as jnp
+    D = cfg.n_embd
+    max_len = min(max_len, cfg.n_positions - 1)
+    buf = np.zeros((1, max_len + 1, D), np.float32)
+    prefix = np.asarray(project_prefix(params, jnp.asarray(
+        clip_feature.reshape(1, -1), jnp.float32)))
+    buf[0, 0] = prefix[0]
+    step = make_greedy_step(params, cfg, max_len + 1)
+
+    wte = np.asarray(params["wte"])
+    tokens, numbers = [], []
+    for pos in range(max_len):
+        nxt = int(step(jnp.asarray(buf), pos))
+        if nxt >= cfg.base_vocab:
+            numbers.append(nxt - cfg.base_vocab)
+            nxt = 286  # '?' token (decode.py:111)
+        tokens.append(nxt)
+        if nxt == cfg.base_vocab - 1:  # EOT
+            break
+        buf[0, pos + 1] = wte[nxt]
+    return tokens, numbers
+
+
+def descale_number(n: float, entry: Dict, extra: Dict) -> float:
+    """Invert the preprocess scaling (decode.py:165-177):
+    value = ((n [- global_shift]) * graduated / weight - shift) * std + mean."""
+    graduated = extra["graduated"]
+    if extra.get("l2_norm") == "n/a":
+        n = n - extra["global_shift"]
+    return round((float(n) * graduated / entry["weight"] - entry["shift"])
+                 * entry["std"] + entry["mean"], 3)
