@@ -67,6 +67,21 @@ def test_evaluate_driver(trained_run, monkeypatch):
     assert outs, "evaluation report not written"
 
 
+def test_analysis_driver(trained_run, monkeypatch):
+    from gava_clip_tpu.cli.analysis import main as analysis_main
+    tmp, classes, logdir = trained_run
+    monkeypatch.chdir(tmp)
+    per_desc = analysis_main([
+        "--model_dir", logdir,
+        "--data_root", str(tmp),
+        "--val_list_path", str(tmp / "val_updrs.csv"),
+        "--batch_size", "2",
+        "--output_dir", str(tmp / "analysis_out"),
+    ])
+    assert set(per_desc.keys()) == {0, 1, 2}
+    assert osp.isfile(tmp / "analysis_out" / "updrs_per_descriptor_precision.txt")
+
+
 def _save_torch_backbone(tmp, reference_modules):
     """Create tiny reference-format clip_pretrained.pth and ckpt.pth files."""
     import torch
