@@ -139,11 +139,8 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
 
     @jax.jit
     def text_features_fn(params):
-        out = model.apply(params, model.buffers,
-                          jnp.zeros((1, args.num_frames, args.spatial_size,
-                                     args.spatial_size, 3), jnp.float32),
-                          compute_dtype=compute_dtype)
-        return out["text_features"]
+        return model.text_features_only(params, model.buffers,
+                                        compute_dtype=compute_dtype)
 
     writer = None
     if logdir:

@@ -141,6 +141,24 @@ class VitaClip:
         self.params = params
         self.buffers = buffers
 
+    def text_features_only(self, params: Dict, buffers: Dict,
+                           compute_dtype=jnp.float32) -> jax.Array:
+        """Per-class text features without running the vision tower
+        (the masked-mean of per-kv pooled features, VitaCLIP_model.py:278-293)."""
+        cfg = self.cfg
+        assert cfg.use_text_prompt_learning
+        prompt_embeds = assemble_prompts(params["prompt"], buffers, cfg.prompt)
+        n_cls, max_kv, L, W = prompt_embeds.shape
+        from .text import encode_text_embeds
+        tf = encode_text_embeds(params["textual"],
+                                prompt_embeds.reshape(n_cls * max_kv, L, W),
+                                buffers["pool_idx"].reshape(-1), cfg.text,
+                                compute_dtype=compute_dtype)
+        tf = _l2norm(tf.astype(jnp.float32)).reshape(n_cls, max_kv, -1)
+        kv_mask = buffers["kv_mask"]
+        kv_count = jnp.maximum(kv_mask.sum(-1, keepdims=True), 1.0)
+        return _l2norm((tf * kv_mask[..., None]).sum(1) / kv_count)
+
     # ----- pure forward ---------------------------------------------------
 
     def apply(self, params: Dict, buffers: Dict, x: jax.Array,
