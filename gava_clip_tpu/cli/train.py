@@ -20,7 +20,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..data.device_preprocess import DEFAULT_MEAN, DEFAULT_STD, normalize_frames
+from ..data.device_preprocess import (DEFAULT_MEAN, DEFAULT_STD,
+                                      make_train_augment, normalize_frames)
 from ..data.loader import (LoaderConfig, create_memory_loader,
                            create_train_loader, create_val_loader)
 from ..data.video import parse_classes_file
@@ -155,10 +156,22 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
     save_conf = np.zeros((num_classes, num_classes), np.int64)
     batch_st = train_st = time.time()
 
+    # device-side augmentation (RandAugment + mirror) when requested;
+    # plain normalize otherwise — both fuse into the train step's first GEMM
+    use_aug = bool(args.auto_augment) or args.mirror
+    augment = jax.jit(make_train_augment(args.auto_augment, args.mirror,
+                                         mean, std)) if use_aug else None
+    aug_key = jax.random.PRNGKey(0)
+
     for i, (batch, mem_batch) in enumerate(zip(train_loader, memory_loader),
                                            start=resume_step):
+        video_u8 = jnp.asarray(batch["video"])
+        if augment is not None:
+            video = augment(jax.random.fold_in(aug_key, i), video_u8)
+        else:
+            video = normalize_frames(video_u8, mean, std)
         device_batch = {
-            "video": normalize_frames(jnp.asarray(batch["video"]), mean, std),
+            "video": video,
             "labels": jnp.asarray(batch["labels"]),
         }
         if args.add_nte:

@@ -7,7 +7,7 @@ GEMM (north star: uint8 straight to HBM). A pure-jax float reference path
 reference's torch pipeline (dataset.py:117-139).
 """
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,39 @@ def center_crop_jax(frames: jax.Array, size: int) -> jax.Array:
     return jax.lax.slice_in_dim(
         jax.lax.slice_in_dim(frames, h0, h0 + size, axis=-3),
         w0, w0 + size, axis=-2)
+
+
+def make_train_augment(auto_augment: Optional[str], mirror: bool,
+                       mean=DEFAULT_MEAN, std=DEFAULT_STD,
+                       erase_prob: float = 0.0):
+    """Jittable train-time augmentation: uint8 (B,T,H,W,3) + PRNG key ->
+    normalized float batch. RandAugment (when configured) + horizontal
+    mirror + normalize [+ RandomErasing] all run on-device in one fused
+    program — the TPU-native replacement for the reference's PIL worker path
+    (dataset.py:98-110)."""
+    import jax
+    import jax.numpy as jnp
+
+    def augment(key: jax.Array, frames_u8: jax.Array) -> jax.Array:
+        x = frames_u8.astype(jnp.float32) / 255.0
+        if auto_augment:
+            from .rand_augment import rand_augment_batch
+            key, k_aug = jax.random.split(key)
+            x = rand_augment_batch(k_aug, x, auto_augment)
+        if mirror:
+            key, k_flip = jax.random.split(key)
+            flip = jax.random.bernoulli(k_flip, 0.5, (x.shape[0],))
+            x = jnp.where(flip[:, None, None, None, None], x[:, :, :, ::-1], x)
+        if erase_prob > 0:
+            from .random_erasing import RandomErasingConfig, random_erasing_batch
+            key, k_erase = jax.random.split(key)
+            x = random_erasing_batch(k_erase, x,
+                                     RandomErasingConfig(probability=erase_prob))
+        m = jnp.asarray(mean, x.dtype)
+        s = jnp.asarray(std, x.dtype)
+        return (x - m) / s
+
+    return augment
 
 
 def val_preprocess_float(frames: jax.Array, spatial_size: int,
