@@ -134,16 +134,21 @@ def temporal_crop_indices(num_video_frames: int, num_frames: int,
 
 
 def keep_aspect_resize(frames: np.ndarray, spatial_size: int,
-                       interpolation=None) -> np.ndarray:
+                       interpolation=None, use_native: bool = True) -> np.ndarray:
     """Short-side resize on uint8 frames (reference dataset.py:124-133),
-    cv2 bilinear ~ torch align_corners=False."""
-    assert cv2 is not None
-    interpolation = interpolation or cv2.INTER_LINEAR
+    bilinear with half-pixel centers (~ torch align_corners=False). Uses the
+    native threaded framepipe when built; cv2 otherwise."""
     T, H, W, C = frames.shape
     if H < W:
         new_h, new_w = spatial_size, W * spatial_size // H
     else:
         new_h, new_w = H * spatial_size // W, spatial_size
+    if use_native and frames.dtype == np.uint8 and interpolation is None:
+        from . import native
+        if native.available():
+            return native.resize_bilinear(frames, new_h, new_w)
+    assert cv2 is not None
+    interpolation = interpolation or cv2.INTER_LINEAR
     out = np.empty((T, new_h, new_w, C), frames.dtype)
     for t in range(T):
         out[t] = cv2.resize(frames[t], (new_w, new_h), interpolation=interpolation)
@@ -206,10 +211,15 @@ def random_resized_crop_params(height: int, width: int,
 
 def random_resized_crop(frames: np.ndarray, size: int,
                         scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0),
-                        rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+                        rng: Optional[np.random.RandomState] = None,
+                        use_native: bool = True) -> np.ndarray:
     """Temporally-consistent random resized crop on uint8 frames."""
     i, j, h, w = random_resized_crop_params(frames.shape[1], frames.shape[2],
                                             scale, ratio, rng)
+    if use_native and frames.dtype == np.uint8:
+        from . import native
+        if native.available():
+            return native.crop_resize(frames, i, j, h, w, size, size)
     cropped = frames[:, i:i + h, j:j + w]
     out = np.empty((frames.shape[0], size, size, frames.shape[3]), frames.dtype)
     for t in range(cropped.shape[0]):
