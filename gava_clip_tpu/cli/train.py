@@ -138,6 +138,18 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
                               batch_split=args.batch_split,
                               compute_dtype=compute_dtype, donate=False)
 
+    # data-parallel mesh over all local devices: params replicated, batches
+    # sharded on 'data'; XLA inserts the gradient all-reduce (SURVEY.md §2.6)
+    mesh = None
+    shardable = args.batch_size % jax.device_count() == 0 and \
+        (not args.use_support_memory
+         or args.mem_batch_size % jax.device_count() == 0)
+    if jax.device_count() > 1 and shardable:
+        from ..parallel.mesh import create_mesh, replicate, shard_batch
+        mesh = create_mesh()
+        state = replicate(state, mesh)
+        _log(f"data-parallel over {mesh.size} devices")
+
     @jax.jit
     def text_features_fn(params):
         return model.text_features_only(params, model.buffers,
@@ -179,6 +191,9 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
         if args.use_support_memory:
             device_batch["memory"] = jnp.asarray(mem_batch["memory"])
             device_batch["mt_labels"] = jnp.asarray(mem_batch["mt_labels"])
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+            device_batch = shard_batch(device_batch, mesh)
         data_ed = time.time()
 
         state, metrics = step_fn(state, device_batch)

@@ -67,8 +67,14 @@ def causal_mask(length: int) -> jax.Array:
 
 
 def text_transformer(params, x: jax.Array, cfg: TextConfig,
-                     attn_impl: str = "xla") -> jax.Array:
-    """Run the causal transformer stack over embedded prompts (N, L, W)."""
+                     attn_impl: str = "xla",
+                     maple_prompts=None) -> jax.Array:
+    """Run the causal transformer stack over embedded prompts (N, L, W).
+
+    maple_prompts: optional (layers-1, P, W) MaPLe-style per-layer prompts —
+    from the second block on, tokens [1:1+P] are replaced by that layer's
+    learned prompts before the block (reference Transformer.forward,
+    VitaCLIP_text_encoder.py:97-118)."""
     mask = causal_mask(x.shape[1])
 
     def block_fn(h, p):
@@ -79,7 +85,23 @@ def text_transformer(params, x: jax.Array, cfg: TextConfig,
         h = h + mlp(p["mlp"], hn, quick_gelu)
         return h, None
 
-    x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+    if maple_prompts is None:
+        x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+        return x
+
+    first = jax.tree_util.tree_map(lambda a: a[0], params["blocks"])
+    rest = jax.tree_util.tree_map(lambda a: a[1:], params["blocks"])
+    x, _ = block_fn(x, first)
+    n_p = maple_prompts.shape[1]
+
+    def maple_block(h, inputs):
+        p, mp = inputs
+        ctx = jnp.broadcast_to(mp[None].astype(h.dtype),
+                               (h.shape[0], n_p, h.shape[-1]))
+        h = jnp.concatenate([h[:, :1], ctx, h[:, 1 + n_p:]], axis=1)
+        return block_fn(h, p)
+
+    x, _ = jax.lax.scan(maple_block, x, (rest, maple_prompts))
     return x
 
 

@@ -1,0 +1,42 @@
+"""Train driver with data-parallel sharding over the 8-device CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_cli_train import _make_assets, _make_dataset
+
+
+def test_train_driver_data_parallel(tmp_path, monkeypatch):
+    import jax
+    assert len(jax.devices()) == 8
+    from gava_clip_tpu.cli.train import main
+    _make_dataset(tmp_path)
+    classes = _make_assets(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    main([
+        "--nfold", "1", "--type", "updrs",
+        "--data_root", str(tmp_path),
+        "--text_prompt_classes_path", str(classes),
+        "--num_steps", "2", "--eval_freq", "2", "--save_freq", "100",
+        "--print_freq", "1", "--batch_size", "8", "--num_frames", "2",
+        "--spatial_size", "32", "--patch_size", "16",
+        "--num_layers", "2", "--num_heads", "2", "--feature_dim", "32",
+        "--embed_dim", "32", "--mlp_factor", "2.0",
+        "--text_transformer_width", "32", "--text_transformer_heads", "2",
+        "--text_transformer_layers", "2", "--text_num_prompts", "2",
+        "--use_text_prompt_learning", "--use_text_prompt_CSC",
+        "--use_summary_token", "--use_local_prompts", "--use_global_prompts",
+        "--num_global_prompts", "2",
+        "--text_prompt_init", "cntn_split_uni_disc",
+        "--knowledge_version", "v1",
+        "--knowledge_dir", str(tmp_path / "ke_updrs"),
+        "--use_support_memory", "--memory_data_path", str(tmp_path / "mem.pkl"),
+        "--mem_batch_size", "8", "--clLoss_nte_video",
+        "--use_focal_ordinal_loss", "--lr", "1e-3", "--num_workers", "2",
+        "--no_mirror",
+    ])
+    logdir = os.path.join("logs", os.listdir("logs")[0])
+    assert os.path.isfile(os.path.join(logdir, "results.txt"))

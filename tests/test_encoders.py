@@ -45,6 +45,25 @@ def test_text_encoder_parity(small_text):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_maple_prompt_injection_parity(small_text):
+    """MaPLe per-layer prompt replacement matches reference
+    Transformer.forward(maple_prompts=...) (text_encoder.py:97-118)."""
+    import torch
+    from gava_clip_tpu.models.text import text_transformer, TextConfig
+    ref, params, cfg = small_text
+    rs = np.random.RandomState(8)
+    x = rs.randn(2, 77, 64).astype(np.float32)
+    maple = [torch.from_numpy(rs.randn(4, 64).astype(np.float32))
+             for _ in range(cfg.layers - 1)]
+    with torch.no_grad():
+        want = ref.transformer(torch.from_numpy(x).permute(1, 0, 2),
+                               maple_prompts=maple).permute(1, 0, 2).numpy()
+    maple_j = jnp.asarray(np.stack([m.numpy() for m in maple]))
+    got = np.asarray(text_transformer(params, jnp.asarray(x), cfg,
+                                      maple_prompts=maple_j))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def _make_ref_vision(reference_modules, **kw):
     import torch
     torch.manual_seed(12)
