@@ -196,7 +196,14 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
             device_batch = shard_batch(device_batch, mesh)
         data_ed = time.time()
 
+        if args.profile_dir and i == resume_step + 2:
+            jax.profiler.start_trace(args.profile_dir)
         state, metrics = step_fn(state, device_batch)
+        if args.profile_dir and i == resume_step + 4:
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(), metrics)
+            jax.profiler.stop_trace()
+            _log(f"profiler trace written to {args.profile_dir}")
 
         if i % args.print_freq == 0:
             loss_v = float(metrics["loss"])

@@ -1,0 +1,32 @@
+"""Multi-host initialization + rank helpers.
+
+TPU-native replacement for the reference's torch.distributed NCCL setup
+(train.py:198-201 — hardcoded world_size=1). On a multi-host TPU slice,
+call `init_distributed()` once per process before any jax use; the mesh in
+parallel/mesh.py then spans all global devices and the loaders slice their
+deterministic samplers by (process_index, process_count) exactly as the
+reference sliced by (rank, world_size) (dataloader.py:113-120).
+"""
+
+import os
+from typing import Optional, Tuple
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> Tuple[int, int]:
+    """Initialize jax.distributed when running multi-process; no-op on a
+    single host. Returns (process_index, process_count)."""
+    import jax
+    explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if explicit or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(coordinator_address=explicit,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+def local_batch_slice(global_batch: int) -> int:
+    import jax
+    assert global_batch % jax.process_count() == 0
+    return global_batch // jax.process_count()
