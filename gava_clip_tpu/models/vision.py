@@ -126,57 +126,55 @@ def resize_time_embed(time_embed: jax.Array, T: int) -> jax.Array:
 def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str):
     """One prompt-aware transformer block over per-frame token rows.
 
-    x: (B*T, S, D) where S = 1 + [G] + N. Returns (x, summary|None).
-    Token choreography matches reference TransformerEncoderLayer.forward
-    (VitaCLIP_vision_encoder_utils.py:155-203) with the global-prompt
-    insert/strip of the encoder loop (VitaCLIP_vision_encoder.py:115-121)
-    folded into the same body.
+    x: (B*T, 1+N, D) = [cls, patches]. Returns (x, summary|None).
+
+    Semantics match reference TransformerEncoderLayer.forward
+    (VitaCLIP_vision_encoder_utils.py:155-203) + the encoder's global-prompt
+    insert/strip (VitaCLIP_vision_encoder.py:115-121), restructured
+    TPU-first: the reference DISCARDS the attention/MLP outputs of the
+    summary/local/global tokens (they are stripped right after), so here
+    those tokens are appended as extra attention KEYS only — queries are
+    just [cls, patches]. Attention is key-order-invariant, so logits match
+    the reference within fp tolerance while saving the per-layer
+    insert/strip concatenations and the discarded rows' attention+MLP
+    compute (~25% of the attention FLOPs at the flagship shape).
 
     Note: like the reference (utils:160-162, `T = self.num_frames`), the
     summary/local grouping always uses the TRAIN-time frame count — an eval
     clip with T = k * num_frames is treated as k pseudo-videos here.
     """
-    BT, _, D = x.shape
+    BT, Lx, D = x.shape
     G = cfg.num_global_prompts
     Tb = cfg.num_frames          # train-time frames (see docstring)
     Bb = BT // Tb
-
-    if cfg.use_global_prompts:
-        g = jnp.broadcast_to(g_prompt[None].astype(x.dtype), (BT, G, D))
-        x = jnp.concatenate([x[:, :1], g, x[:, 1:]], axis=1)
 
     summary = None
     if cfg.use_summary_token or cfg.use_local_prompts:
         cls = x[:, 0].reshape(Bb, Tb, D)
         cls_proj = linear(p["cls_proj"], cls)
 
+    extras = []
+    if cfg.use_global_prompts:
+        extras.append(jnp.broadcast_to(g_prompt[None].astype(x.dtype),
+                                       (BT, G, D)))
     if cfg.use_summary_token:
-        s_norm = layer_norm(cls_proj, p["summary_ln"]["scale"], p["summary_ln"]["bias"])
+        s_norm = layer_norm(cls_proj, p["summary_ln"]["scale"],
+                            p["summary_ln"]["bias"])
         summary = cls_proj + multi_head_attention(
             p["summary_attn"], s_norm, s_norm, s_norm, cfg.heads, impl="xla")
-        x = jnp.concatenate([x, summary.reshape(BT, 1, D)], axis=1)
-
-    n_local = 0
+        extras.append(summary.reshape(BT, 1, D))
     if cfg.use_local_prompts:
         lp = p["local_prompts"].astype(x.dtype) + cls_proj   # (Bb, Tb, D)
-        n_local = Tb
         # every frame row of a pseudo-video attends over the same Tb prompts
-        lp = jnp.broadcast_to(lp[:, None], (Bb, Tb, n_local, D)).reshape(BT, n_local, D)
-        x = jnp.concatenate([x[:, :1], lp, x[:, 1:]], axis=1)
+        extras.append(jnp.broadcast_to(lp[:, None], (Bb, Tb, Tb, D))
+                      .reshape(BT, Tb, D))
 
-    xn = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"])
-    x = x + multi_head_attention(p["attn"], xn, xn, xn, cfg.heads, impl=attn_impl)
-
-    if cfg.use_summary_token:
-        x = x[:, :-1]
-    if cfg.use_local_prompts:
-        x = jnp.concatenate([x[:, :1], x[:, 1 + n_local:]], axis=1)
-
+    kv = jnp.concatenate([x] + extras, axis=1) if extras else x
+    kv_n = layer_norm(kv, p["norm1"]["scale"], p["norm1"]["bias"])
+    x = x + multi_head_attention(p["attn"], kv_n[:, :Lx], kv_n, kv_n,
+                                 cfg.heads, impl=attn_impl)
     x = x + mlp(p["mlp"], layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"]),
                 quick_gelu)
-
-    if cfg.use_global_prompts:
-        x = jnp.concatenate([x[:, :1], x[:, 1 + G:]], axis=1)
     return x, summary
 
 

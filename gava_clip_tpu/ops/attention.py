@@ -37,7 +37,7 @@ def attention_core(q: jax.Array, k: jax.Array, v: jax.Array,
     Lk = k.shape[1]
     Dh = D // num_heads
 
-    if impl == "flash" and mask is None and Lq == Lk:
+    if impl == "flash" and mask is None:
         from .flash_attention import flash_attention
         return flash_attention(q, k, v, num_heads)
 

@@ -32,19 +32,19 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                      l_valid: int, num_heads: int, head_dim: int):
+                      lk_valid: int, num_heads: int, head_dim: int):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    L = q.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    Lq, Lk = q.shape[0], k.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         scores = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        if l_valid < L:
-            scores = jnp.where(col < l_valid, scores, -jnp.inf)
+        if lk_valid < Lk:
+            scores = jnp.where(col < lk_valid, scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.dot(probs.astype(v.dtype), v[:, sl],
                       preferred_element_type=jnp.float32)
@@ -55,25 +55,25 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
                    num_heads: int) -> jax.Array:
     B, Lq, D = q.shape
     Lk = k.shape[1]
-    assert Lq == Lk, "self-attention kernel expects Lq == Lk"
     head_dim = D // num_heads
-    Lp = _ceil_to(Lq, 128)
+    Lqp, Lkp = _ceil_to(Lq, 128), _ceil_to(Lk, 128)
 
-    def pad(x):
+    def pad(x, Lp):
         if x.shape[1] == Lp:
             return x
         return jnp.pad(x, ((0, 0), (0, Lp - x.shape[1]), (0, 0)))
 
-    blk = pl.BlockSpec((1, Lp, D), lambda b: (b, 0, 0))
+    blk_q = pl.BlockSpec((1, Lqp, D), lambda b: (b, 0, 0))
+    blk_kv = pl.BlockSpec((1, Lkp, D), lambda b: (b, 0, 0))
     out = pl.pallas_call(
         functools.partial(_attention_kernel, scale=head_dim ** -0.5,
-                          l_valid=Lq, num_heads=num_heads, head_dim=head_dim),
+                          lk_valid=Lk, num_heads=num_heads, head_dim=head_dim),
         grid=(B,),
-        in_specs=[blk, blk, blk],
-        out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct((B, Lp, D), q.dtype),
+        in_specs=[blk_q, blk_kv, blk_kv],
+        out_specs=blk_q,
+        out_shape=jax.ShapeDtypeStruct((B, Lqp, D), q.dtype),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
-    )(pad(q), pad(k), pad(v))
+    )(pad(q, Lqp), pad(k, Lkp), pad(v, Lkp))
     return out[:, :Lq]
 
 
