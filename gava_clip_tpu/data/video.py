@@ -43,6 +43,10 @@ def parse_classes_file(path: str) -> Tuple[List[str], List[str]]:
         lines = [x for x in f.read().strip().split("\n") if x.strip()]
     classnames = [x for x in lines if x[0] != "*"]
     labels = [x[1:] for x in lines if x[0] == "*"]
+    if not labels:
+        # generic action lists (k400/ucf/hmdb) carry no '*' lines; every line
+        # is a class (fixes reference quirk SURVEY.md §2.8-3 where CLS_NUM=0)
+        labels = list(classnames)
     return classnames, labels
 
 
