@@ -54,7 +54,38 @@ def save_checkpoint(checkpoint_dir: str, state: TrainState, next_step: int,
     return path
 
 
+def save_checkpoint_orbax(checkpoint_dir: str, state: TrainState,
+                          next_step: int,
+                          text_features: Optional[np.ndarray] = None,
+                          is_best: bool = False, name: str = "checkpoint") -> str:
+    """Orbax-backed save — same payload layout as save_checkpoint but as an
+    Orbax PyTree directory (async/sharded-friendly for multi-host runs)."""
+    import orbax.checkpoint as ocp
+    payload = {
+        "params": _to_numpy_tree(combine_params(state.trainable, state.frozen)),
+        "opt_state": _to_numpy_tree(state.opt_state),
+        "next_step": int(next_step),
+    }
+    if text_features is not None:
+        payload["text_features"] = np.asarray(text_features)
+    fname = f"{name}-best.orbax" if is_best else f"{name}-{next_step}.orbax"
+    path = osp.abspath(osp.join(checkpoint_dir, fname))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint_orbax(path: str, template: Optional[Dict] = None) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    if template is not None:
+        return ckptr.restore(osp.abspath(path), item=template)
+    return ckptr.restore(osp.abspath(path))
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    if path.endswith(".orbax") or osp.isdir(path):
+        return load_checkpoint_orbax(path)
     if path.endswith(".pth"):  # reference torch checkpoint
         from ..utils.torch_convert import load_torch_state_dict
         import torch

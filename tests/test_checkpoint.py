@@ -1,0 +1,69 @@
+"""Checkpoint save/resume round trips: pickle + orbax backends, auto-resume
+scan, pretrain (non-strict) overlay."""
+
+import argparse
+import os.path as osp
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gava_clip_tpu.train import checkpoint as C
+from gava_clip_tpu.train.state import (TrainState, combine_params,
+                                       create_train_state, make_optimizer)
+
+
+def _tiny_state():
+    params = {"visual": {"w": jnp.arange(4.0), "frozen_w": jnp.ones(3)},
+              "logit_scale": jnp.asarray(2.0)}
+    mask = {"visual": {"w": True, "frozen_w": False}, "logit_scale": True}
+    opt = make_optimizer(lr=1e-2, num_steps=10)
+    return create_train_state(params, mask, opt), mask, opt
+
+
+def test_pickle_roundtrip_and_autoresume(tmp_path):
+    state, mask, opt = _tiny_state()
+    C.save_checkpoint(str(tmp_path), state, 3)
+    C.save_checkpoint(str(tmp_path), state, 7)
+    found = C.find_autoresume_path(str(tmp_path))
+    assert found.endswith("checkpoint-7.ckpt")
+
+    args = argparse.Namespace(pretrain=None, resume_path=None,
+                              auto_resume=True, checkpoint_dir=str(tmp_path))
+    fresh, _, _ = _tiny_state()
+    restored, step, tf = C.resume_from_checkpoint(fresh, mask, args)
+    assert step == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored.trainable["visual"]["w"]), np.arange(4.0))
+    assert tf is None
+
+
+def test_pretrain_nonstrict_overlay(tmp_path):
+    state, mask, opt = _tiny_state()
+    # mutate then save as a pretrain source
+    mutated = TrainState(step=state.step,
+                         trainable=jax.tree_util.tree_map(
+                             lambda x: None if x is None else x + 1.0,
+                             state.trainable, is_leaf=lambda x: x is None),
+                         frozen=state.frozen, opt_state=state.opt_state)
+    path = C.save_checkpoint(str(tmp_path), mutated, 5, name="pre")
+    args = argparse.Namespace(pretrain=path, resume_path=None,
+                              auto_resume=False, checkpoint_dir=None)
+    fresh, _, _ = _tiny_state()
+    restored, step, _ = C.resume_from_checkpoint(fresh, mask, args)
+    assert step == 0  # pretrain loads weights only
+    np.testing.assert_array_equal(
+        np.asarray(restored.trainable["visual"]["w"]), np.arange(4.0) + 1.0)
+
+
+def test_orbax_roundtrip(tmp_path):
+    state, mask, opt = _tiny_state()
+    tf = np.ones((3, 8), np.float32)
+    path = C.save_checkpoint_orbax(str(tmp_path), state, 4, text_features=tf)
+    ckpt = C.load_checkpoint(path)
+    assert int(ckpt["next_step"]) == 4
+    np.testing.assert_array_equal(ckpt["text_features"], tf)
+    np.testing.assert_array_equal(
+        np.asarray(ckpt["params"]["visual"]["w"]), np.arange(4.0))
