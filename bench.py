@@ -12,6 +12,7 @@ same FLOP count — held constant across rounds so the ratio is comparable.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -39,10 +40,13 @@ def main():
     params, buffers = model.params, model.buffers
     attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
 
+    # full layer unroll measured +6% over scan at inference (364 vs 343 c/s)
+    scan_unroll = int(os.environ.get("GAVA_SCAN_UNROLL", "12"))
+
     @jax.jit
     def forward(params, video):
         return model.apply(params, buffers, video, compute_dtype=jnp.bfloat16,
-                           attn_impl=attn_impl)["logits"]
+                           attn_impl=attn_impl, scan_unroll=scan_unroll)["logits"]
 
     rs = np.random.RandomState(0)
     video = jnp.asarray(rs.rand(B, T, 224, 224, 3).astype(np.float32))

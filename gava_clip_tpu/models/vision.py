@@ -180,7 +180,7 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str):
 
 def vision_encoder(params, x: jax.Array, cfg: VisionConfig,
                    compute_dtype=jnp.float32, attn_impl: str = "xla",
-                   remat: bool = False):
+                   remat: bool = False, scan_unroll: int = 1):
     """Encode video (B, T, H, W, 3) -> (video_features (B, embed_dim),
     summary (B, feature_dim) | None).
 
@@ -221,7 +221,8 @@ def vision_encoder(params, x: jax.Array, cfg: VisionConfig,
     body = jax.checkpoint(scan_body) if remat else scan_body
     init_summary = jnp.zeros((Bb, Tb, D), x.dtype)
     (x, summary), _ = jax.lax.scan(body, (x, init_summary),
-                                   (params["blocks"], g_prompts))
+                                   (params["blocks"], g_prompts),
+                                   unroll=scan_unroll)
 
     cls_x = layer_norm(x[:, 0], params["ln_post"]["scale"], params["ln_post"]["bias"])
     cls_x = cls_x @ params["proj"].astype(cls_x.dtype)

@@ -167,7 +167,8 @@ class VitaClip:
               desc_wise: bool = False,
               compute_dtype=jnp.float32,
               attn_impl: str = "xla",
-              remat: bool = False) -> Dict[str, jax.Array]:
+              remat: bool = False,
+              scan_unroll: int = 1) -> Dict[str, jax.Array]:
         """Forward pass.
 
         x: video (B, T, H, W, 3); memory: (Bm, S, E); video_nte: (B, 70, E).
@@ -180,7 +181,7 @@ class VitaClip:
 
         video_features, summary = vision_encoder(
             params["visual"], x, cfg.vision, compute_dtype=compute_dtype,
-            attn_impl=attn_impl, remat=remat)
+            attn_impl=attn_impl, remat=remat, scan_unroll=scan_unroll)
         video_features = _l2norm(video_features.astype(jnp.float32))
         logit_scale = jnp.exp(params["logit_scale"])
 
