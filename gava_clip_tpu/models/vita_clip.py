@@ -98,46 +98,53 @@ class VitaClip:
                  zeroshot_text_features: Optional[np.ndarray] = None,
                  rng: Optional[jax.Array] = None):
         self.cfg = cfg
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
-        r_vis, r_txt, r_prompt, r_head = jax.random.split(rng, 4)
+        # initialize on host CPU: parameter init is thousands of tiny ops —
+        # running them eagerly over a TPU tunnel is minutes of RPC latency;
+        # jit moves the weights to device on first use anyway.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            r_vis, r_txt, r_prompt, r_head = jax.random.split(rng, 4)
 
-        params: Dict = {"visual": init_vision_params(r_vis, cfg.vision)}
-        if cfg.use_text_prompt_learning:
-            params["textual"] = init_text_params(r_txt, cfg.text)
+            params: Dict = {"visual": init_vision_params(r_vis, cfg.vision)}
+            if cfg.use_text_prompt_learning:
+                params["textual"] = init_text_params(r_txt, cfg.text)
 
-        if backbone_state is not None:
-            from ..utils.torch_convert import (convert_text_tower,
-                                               convert_vision_tower,
-                                               merge_pytrees, strip_prefix)
-            vis_sd = strip_prefix(backbone_state, "visual.")
-            if vis_sd:
-                loaded = convert_vision_tower(vis_sd, cfg.vision.layers)
-                params["visual"] = merge_pytrees(
-                    params["visual"], jax.tree_util.tree_map(jnp.asarray, loaded))
-            txt_sd = strip_prefix(backbone_state, "textual.")
-            if txt_sd and cfg.use_text_prompt_learning:
-                loaded = convert_text_tower(txt_sd, cfg.text.layers)
-                params["textual"] = merge_pytrees(
-                    params["textual"], jax.tree_util.tree_map(jnp.asarray, loaded))
+            if backbone_state is not None:
+                from ..utils.torch_convert import (convert_text_tower,
+                                                   convert_vision_tower,
+                                                   merge_pytrees, strip_prefix)
+                vis_sd = strip_prefix(backbone_state, "visual.")
+                if vis_sd:
+                    loaded = convert_vision_tower(vis_sd, cfg.vision.layers)
+                    params["visual"] = merge_pytrees(
+                        params["visual"],
+                        jax.tree_util.tree_map(jnp.asarray, loaded))
+                txt_sd = strip_prefix(backbone_state, "textual.")
+                if txt_sd and cfg.use_text_prompt_learning:
+                    loaded = convert_text_tower(txt_sd, cfg.text.layers)
+                    params["textual"] = merge_pytrees(
+                        params["textual"],
+                        jax.tree_util.tree_map(jnp.asarray, loaded))
 
-        buffers: Dict = {}
-        if cfg.use_text_prompt_learning:
-            assert classnames is not None and cfg.prompt is not None
-            token_embedding = np.asarray(params["textual"]["token_embedding"])
-            assets = build_prompt_assets(classnames, cfg.prompt, token_embedding)
-            self.prompt_assets = assets
-            buffers["token_prefix"] = jnp.asarray(assets.token_prefix)
-            buffers["token_suffix"] = jnp.asarray(assets.token_suffix)
-            buffers["kv_mask"] = jnp.asarray(assets.kv_mask)
-            buffers["pool_idx"] = jnp.asarray(assets.pool_idx)
-            if assets.cntn_embeds is not None:
-                buffers["cntn_embeds"] = jnp.asarray(assets.cntn_embeds)
-            params["prompt"] = init_prompt_params(r_prompt, cfg.prompt)
-        if cfg.zeroshot_evaluation:
-            assert zeroshot_text_features is not None
-            buffers["text_features"] = jnp.asarray(zeroshot_text_features)
+            buffers: Dict = {}
+            if cfg.use_text_prompt_learning:
+                assert classnames is not None and cfg.prompt is not None
+                token_embedding = np.asarray(params["textual"]["token_embedding"])
+                assets = build_prompt_assets(classnames, cfg.prompt, token_embedding)
+                self.prompt_assets = assets
+                buffers["token_prefix"] = jnp.asarray(assets.token_prefix)
+                buffers["token_suffix"] = jnp.asarray(assets.token_suffix)
+                buffers["kv_mask"] = jnp.asarray(assets.kv_mask)
+                buffers["pool_idx"] = jnp.asarray(assets.pool_idx)
+                if assets.cntn_embeds is not None:
+                    buffers["cntn_embeds"] = jnp.asarray(assets.cntn_embeds)
+                params["prompt"] = init_prompt_params(r_prompt, cfg.prompt)
+            if cfg.zeroshot_evaluation:
+                assert zeroshot_text_features is not None
+                buffers["text_features"] = jnp.asarray(zeroshot_text_features)
 
-        params.update(init_head_params(r_head, cfg))
+            params.update(init_head_params(r_head, cfg))
         self.params = params
         self.buffers = buffers
 
