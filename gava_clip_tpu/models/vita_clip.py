@@ -145,8 +145,12 @@ class VitaClip:
                 buffers["text_features"] = jnp.asarray(zeroshot_text_features)
 
             params.update(init_head_params(r_head, cfg))
-        self.params = params
-        self.buffers = buffers
+        # hand back UNCOMMITTED host arrays: arrays created under
+        # default_device(cpu) are committed to CPU and would pin any jit
+        # consuming them to the CPU backend; numpy leaves let jit place them
+        # on the run's default device instead.
+        self.params = jax.tree_util.tree_map(np.asarray, params)
+        self.buffers = jax.tree_util.tree_map(np.asarray, buffers)
 
     def text_features_only(self, params: Dict, buffers: Dict,
                            compute_dtype=jnp.float32) -> jax.Array:
