@@ -9,6 +9,11 @@ The reference publishes no throughput numbers (BASELINE.md); `vs_baseline`
 is computed against an analytic estimate of the reference PyTorch stack on
 its stated RTX 6000 Ada (91 TFLOPS dense fp16) at a generous 45% MFU on the
 same FLOP count — held constant across rounds so the ratio is comparable.
+
+Tunnel-aware: the TPU in this environment sits behind a serialized stdio
+relay, so the benchmark minimizes host<->device traffic — weights ship as
+bf16 (half the bytes; compute is bf16 anyway) and the input batch is
+generated on-device.
 """
 
 import json
@@ -37,9 +42,15 @@ def main():
 
     T, B = 8, 16  # B=16 measured optimal on v5e (338 clips/s vs 296 at B=64)
     model = build_zero_shot(num_frames=T, num_classes=400)
-    params, buffers = model.params, model.buffers
-    attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    buffers = model.buffers
+    # ship weights as bf16: compute dtype is bf16, and it halves the bytes
+    # crossing the TPU tunnel (fp32 params stay the training format)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if np.issubdtype(x.dtype, np.floating) else x,
+        model.params)
 
+    attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
     # full layer unroll measured +6% over scan at inference (364 vs 343 c/s)
     scan_unroll = int(os.environ.get("GAVA_SCAN_UNROLL", "12"))
 
@@ -48,15 +59,21 @@ def main():
         return model.apply(params, buffers, video, compute_dtype=jnp.bfloat16,
                            attn_impl=attn_impl, scan_unroll=scan_unroll)["logits"]
 
-    rs = np.random.RandomState(0)
-    video = jnp.asarray(rs.rand(B, T, 224, 224, 3).astype(np.float32))
-    video1 = jnp.asarray(rs.rand(1, T, 224, 224, 3).astype(np.float32))
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def make_video(key, b):
+        return jax.random.uniform(key, (b, T, 224, 224, 3), jnp.float32)
+
+    key = jax.jit(lambda: jax.random.PRNGKey(0))()
+    video = make_video(key, B)
+    video1 = video[:1]
 
     # warmup/compile
     forward(params, video).block_until_ready()
     forward(params, video1).block_until_ready()
 
-    iters = 40
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(params, video)
@@ -65,7 +82,7 @@ def main():
     clips_per_sec = B * iters / dt
 
     lat = []
-    for _ in range(30):
+    for _ in range(15):
         t0 = time.perf_counter()
         forward(params, video1).block_until_ready()
         lat.append(time.perf_counter() - t0)
