@@ -100,6 +100,45 @@ def test_vision_encoder_parity_all_prompts(reference_modules):
     np.testing.assert_allclose(np.asarray(got_sum), want_sum.numpy(), atol=2e-5)
 
 
+@pytest.mark.parametrize("flags", [
+    dict(use_summary_token=True),
+    dict(use_summary_token=True, use_local_prompts=True),
+    dict(use_local_prompts=True, use_global_prompts=True, num_global_prompts=2),
+])
+def test_vision_encoder_parity_prompt_combos(reference_modules, flags):
+    """Each prompt-flag combination matches the reference — except the
+    promptless/summaryless reference paths that crash (SURVEY.md §2.8-1);
+    combos here all keep the reference runnable."""
+    import torch
+    if not flags.get("use_global_prompts"):
+        # reference encoder loop without global prompts is broken (x=blk(x)
+        # tuple assignment); emulate by adding globals on both sides? No —
+        # only the summary path keeps `summary` bound; test via block-level
+        # equivalence instead for those combos.
+        ref = _make_ref_vision(reference_modules, **flags)
+        blk = ref.blocks[0]
+        x = torch.randn(8, 5, 48)  # (B*T, N, C) with T=4 -> B=2
+        with torch.no_grad():
+            want, want_summary = blk(x)
+        params, cfg = _convert(ref, **flags)
+        from gava_clip_tpu.models.vision import _block
+        p0 = jax.tree_util.tree_map(lambda a: a[0], params["blocks"])
+        g = jnp.zeros((0, 48))
+        got, got_summary = _block(p0, g, jnp.asarray(x.numpy()), cfg, "xla")
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+        if want_summary is not None:
+            np.testing.assert_allclose(np.asarray(got_summary),
+                                       want_summary.numpy(), atol=2e-5)
+        return
+    ref = _make_ref_vision(reference_modules, **flags)
+    params, cfg = _convert(ref, **flags)
+    x = np.random.RandomState(7).randn(2, 4, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        want_feat, _ = ref(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+    got_feat, _ = vision_encoder(params, jnp.asarray(x), cfg)
+    np.testing.assert_allclose(np.asarray(got_feat), want_feat.numpy(), atol=2e-5)
+
+
 def test_vision_encoder_parity_global_only(reference_modules):
     import torch
     ref = _make_ref_vision(reference_modules, use_global_prompts=True,
