@@ -1,0 +1,92 @@
+"""Production inference serving.
+
+A compiled-once classifier around the zero-shot path: uint8 clips in,
+class probabilities out. Weights live on device in bf16, inputs are padded
+to a fixed serving batch so a single executable handles any request size,
+and preprocessing (keep-aspect resize + center crop) runs through the
+native framepipe on the host with normalization fused on device.
+
+    clf = VideoClassifier.from_model(model, classnames=[...])
+    probs = clf.classify_clips(clips_u8)        # (N, T, S, S, 3) uint8
+    label, probs = clf.classify_video("walk.mp4")
+"""
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .data.device_preprocess import CLIP_MEAN, CLIP_STD, normalize_frames
+from .data import video as V
+
+
+class VideoClassifier:
+
+    def __init__(self, model, params: Dict, classnames: Sequence[str],
+                 batch_size: int = 16, mean=CLIP_MEAN, std=CLIP_STD,
+                 compute_dtype=None, attn_impl: Optional[str] = None):
+        import jax
+        import jax.numpy as jnp
+        self.model = model
+        self.classnames = list(classnames)
+        self.batch_size = batch_size
+        self.num_frames = model.cfg.vision.num_frames
+        self.spatial_size = model.cfg.vision.input_size[0]
+        compute_dtype = compute_dtype or jnp.bfloat16
+        attn_impl = attn_impl or (
+            "flash" if jax.default_backend() == "tpu" else "xla")
+
+        # serve with bf16 weights: halves HBM traffic and host->device bytes
+        self.params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x, params)
+
+        buffers = model.buffers
+
+        @jax.jit
+        def _forward(p, clips_u8):
+            x = normalize_frames(clips_u8, mean, std)
+            out = model.apply(p, buffers, x, compute_dtype=compute_dtype,
+                              attn_impl=attn_impl)
+            return jax.nn.softmax(out["logits"], axis=-1)
+
+        self._forward = _forward
+
+    @classmethod
+    def from_model(cls, model, classnames: Sequence[str], **kw):
+        return cls(model, model.params, classnames, **kw)
+
+    def warmup(self):
+        dummy = np.zeros((self.batch_size, self.num_frames, self.spatial_size,
+                          self.spatial_size, 3), np.uint8)
+        np.asarray(self._forward(self.params, dummy))
+        return self
+
+    def classify_clips(self, clips_u8: np.ndarray) -> np.ndarray:
+        """(N, T, S, S, 3) uint8 -> (N, n_cls) probabilities. Requests are
+        padded to the fixed serving batch (one executable per deployment)."""
+        import jax.numpy as jnp
+        n = clips_u8.shape[0]
+        probs = []
+        for i in range(0, n, self.batch_size):
+            chunk = clips_u8[i:i + self.batch_size]
+            k = chunk.shape[0]
+            if k < self.batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], self.batch_size - k, axis=0)])
+            p = np.asarray(self._forward(self.params, jnp.asarray(chunk)))[:k]
+            probs.append(p)
+        return np.concatenate(probs, axis=0)
+
+    def prepare_video(self, path: str, sampling_rate: int = 1) -> np.ndarray:
+        """Decode + sample + resize/crop one video to a serving clip."""
+        n = V.video_num_frames(path)
+        idx = V.temporal_crop_indices(n, self.num_frames, sampling_rate, 1)[0]
+        frames = V.decode_frames(path, indices=idx)
+        frames = V.keep_aspect_resize(frames, self.spatial_size)
+        return V.center_crop(frames, self.spatial_size)
+
+    def classify_video(self, path: str) -> Tuple[str, np.ndarray]:
+        clip = self.prepare_video(path)
+        probs = self.classify_clips(clip[None])[0]
+        return self.classnames[int(np.argmax(probs))], probs

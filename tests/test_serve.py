@@ -1,0 +1,49 @@
+"""Serving classifier: fixed-batch padding, video path end-to-end."""
+
+import numpy as np
+import pytest
+
+from gava_clip_tpu.serve import VideoClassifier
+from gava_clip_tpu.utils.flagship import build_zero_shot
+
+
+@pytest.fixture(scope="module")
+def tiny_classifier():
+    from gava_clip_tpu.models.text import TextConfig
+    from gava_clip_tpu.models.vision import VisionConfig
+    from gava_clip_tpu.models.vita_clip import VitaClip, VitaClipConfig
+    tf = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    cfg = VitaClipConfig(
+        vision=VisionConfig(input_size=(32, 32), num_frames=2, feature_dim=32,
+                            patch_size=(16, 16), heads=2, layers=2,
+                            mlp_factor=2.0, embed_dim=16,
+                            use_summary_token=True, use_local_prompts=True,
+                            use_global_prompts=True, num_global_prompts=2),
+        num_classes=3, zeroshot_evaluation=True)
+    model = VitaClip(cfg, zeroshot_text_features=tf)
+    return VideoClassifier.from_model(
+        model, ["normal", "slight", "moderate"], batch_size=4).warmup()
+
+
+def test_classify_clips_padding(tiny_classifier):
+    rs = np.random.RandomState(1)
+    clips = rs.randint(0, 255, (6, 2, 32, 32, 3), np.uint8)
+    probs = tiny_classifier.classify_clips(clips)
+    assert probs.shape == (6, 3)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
+    # padding must not change results vs exact-batch evaluation
+    probs2 = tiny_classifier.classify_clips(clips[:4])
+    np.testing.assert_allclose(probs[:4], probs2, atol=1e-5)
+
+
+def test_classify_video(tiny_classifier, tmp_path):
+    import cv2
+    p = tmp_path / "v.mp4"
+    w = cv2.VideoWriter(str(p), cv2.VideoWriter_fourcc(*"mp4v"), 10, (48, 40))
+    rs = np.random.RandomState(2)
+    for _ in range(10):
+        w.write(rs.randint(0, 255, (40, 48, 3), np.uint8))
+    w.release()
+    label, probs = tiny_classifier.classify_video(str(p))
+    assert label in ("normal", "slight", "moderate")
+    assert probs.shape == (3,)
