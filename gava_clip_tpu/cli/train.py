@@ -66,7 +66,7 @@ def _mean_std(args):
 
 
 def evaluate(model, params, loader, num_classes: int, mean, std,
-             compute_dtype, batch_size: int) -> tuple:
+             compute_dtype, batch_size: int, attn_impl: str = "xla") -> tuple:
     """Eval loop accumulating a host-side confusion matrix.
 
     Batches are padded to `batch_size` to keep one compiled shape; the pad
@@ -79,7 +79,7 @@ def evaluate(model, params, loader, num_classes: int, mean, std,
     def forward(params, video_u8):
         video = normalize_frames(video_u8, mean, std, compute_dtype=jnp.float32)
         out = model.apply(params, model.buffers, video,
-                          compute_dtype=compute_dtype)
+                          compute_dtype=compute_dtype, attn_impl=attn_impl)
         return jnp.argmax(out["logits"], axis=-1)
 
     conf = np.zeros((num_classes, num_classes), np.int64)
@@ -109,6 +109,9 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
     import jax.numpy as jnp
 
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    # rematerialize the vision blocks for long clips (T=70 flagship)
+    remat = args.num_frames >= 16
     mean, std = _mean_std(args)
 
     from ..models.vita_clip import trainable_mask
@@ -136,7 +139,8 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
 
     step_fn = make_train_step(model, loss_cfg, optimizer,
                               batch_split=args.batch_split,
-                              compute_dtype=compute_dtype, donate=False)
+                              compute_dtype=compute_dtype,
+                              attn_impl=attn_impl, remat=remat, donate=False)
 
     # data-parallel mesh over all local devices: params replicated, batches
     # sharded on 'data'; XLA inserts the gradient all-reduce (SURVEY.md §2.6)
@@ -225,7 +229,8 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
             _log(f"Start model evaluation at step {i + 1}")
             params = state.params
             eval_acc, conf = evaluate(model, params, val_loader, num_classes,
-                                      mean, std, compute_dtype, args.batch_size)
+                                      mean, std, compute_dtype,
+                                      args.batch_size, attn_impl=attn_impl)
             eval_perf = float(f1_from_confusion(conf).mean())
             if writer is not None:
                 writer.add_scalar("test/accuracy", eval_acc, i + 1)
