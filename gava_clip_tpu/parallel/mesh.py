@@ -18,12 +18,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(n_devices: Optional[int] = None,
-                axis_names: Sequence[str] = ("data",)) -> Mesh:
+                axis_names: Sequence[str] = ("data",),
+                mesh_shape: Optional[Sequence[int]] = None) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
-    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+    if mesh_shape is None:
+        mesh_shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(tuple(mesh_shape)), axis_names)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -44,3 +46,45 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def tensor_parallel_spec(path, leaf, mesh: Mesh) -> P:
+    """Megatron-style sharding rule for the CLIP towers over a 'model' axis:
+    column-shard the up-projections (attention q/k/v, MLP fc1) and row-shard
+    the down-projections (attention out, MLP fc2); everything else
+    replicated. With GSPMD this is purely a placement annotation — XLA
+    inserts the all-reduces (beyond reference parity: the torch stack is
+    DP-only, SURVEY.md §2.6)."""
+    keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+    name = "/".join(keys)
+    ndim = np.asarray(leaf).ndim
+    def spec(*tail):
+        # blocks are stacked (L, in, out): prepend None for the layer axis
+        lead = (None,) * (ndim - len(tail))
+        return P(*lead, *tail)
+    if "kernel" in name and ndim >= 2:
+        if any(f"/{k}/" in name for k in ("q", "k", "v")) or "fc1" in name:
+            return spec(None, "model")
+        if "/out/" in name or "fc2" in name:
+            return spec("model", None)
+    if "bias" in name and ndim >= 1:
+        if any(f"/{k}/" in name for k in ("q", "k", "v")) or "fc1" in name:
+            return spec("model")
+    return P()
+
+
+def shard_params_tensor_parallel(params, mesh: Mesh):
+    """Place a parameter pytree on a ('data', 'model') mesh with TP rules.
+    Dimensions not divisible by the model-axis size fall back to replication."""
+    model_size = mesh.shape.get("model", 1)
+
+    def place(path, leaf):
+        spec = tensor_parallel_spec(path, leaf, mesh)
+        shape = np.asarray(leaf).shape
+        for dim, axis in enumerate(spec):
+            if axis is not None and shape[dim] % model_size != 0:
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
