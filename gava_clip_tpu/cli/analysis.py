@@ -18,7 +18,7 @@ from typing import Dict, List
 import numpy as np
 
 from ..data.device_preprocess import normalize_frames
-from ..data.loader import LoaderConfig, create_val_loader
+from ..data.loader import create_val_loader
 from ..data.video import parse_classes_file
 from ..train.checkpoint import load_checkpoint
 from ..utils.config import build_train_parser, load_config_into

@@ -11,7 +11,7 @@ names (decode.py:127-182).
 import argparse
 import copy
 import pickle
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -11,7 +11,7 @@ import os
 import os.path as osp
 import pickle
 import time
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -10,12 +10,12 @@ logits across models with those weights (reference iwa.py:200-322).
 import argparse
 import glob
 import os.path as osp
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 
 from ..data.device_preprocess import normalize_frames
-from ..data.loader import LoaderConfig, create_val_loader
+from ..data.loader import create_val_loader
 from ..data.video import parse_classes_file
 from ..train.checkpoint import load_checkpoint
 from ..train.metrics import f1_from_confusion

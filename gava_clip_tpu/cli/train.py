@@ -16,7 +16,7 @@ import os
 import os.path as osp
 import time
 from datetime import datetime
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

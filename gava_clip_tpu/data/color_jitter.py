@@ -9,7 +9,7 @@ PIL-op policy); this module is the plain jitter API used by SlowFast-style
 training recipes.
 """
 
-from typing import Optional, Sequence, Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ import os
 import os.path as osp
 import pickle
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from .datasets import (DummyDataset, DummyMemoDataset, MemoryDataset,
-                       VideoDataset, VideoDatasetConfig, NUM_COMB)
+                       VideoDataset, VideoDatasetConfig)
 from .sampler import eval_sampler, step_sampler
 
 

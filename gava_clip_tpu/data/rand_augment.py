@@ -19,7 +19,7 @@ scalars so random per-clip magnitude jitter stays inside jit.
 import re
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ cli/decode.py (reference training/decode.py:88-182).
 """
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import jax

@@ -1,7 +1,7 @@
 """Build a VitaClip model from the CLI argparse namespace — the equivalent of
 the reference's VitaCLIP(...) ctor call in train.py:274-323."""
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -23,7 +23,7 @@ TPU-first design decisions:
 """
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

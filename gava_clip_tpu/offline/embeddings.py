@@ -16,7 +16,7 @@ utils/prepare_embedding.py.
 import json
 import os.path as osp
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

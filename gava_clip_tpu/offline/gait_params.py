@@ -10,7 +10,7 @@ turns into NTE matrices and the support-memory bank.
 """
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from scipy import signal

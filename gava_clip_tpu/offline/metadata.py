@@ -12,7 +12,7 @@ import os
 import os.path as osp
 import pickle
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -13,7 +13,7 @@ gradient averaging, replacing the reference's Python slice loop
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
