@@ -58,6 +58,55 @@ def test_pretrain_nonstrict_overlay(tmp_path):
         np.asarray(restored.trainable["visual"]["w"]), np.arange(4.0) + 1.0)
 
 
+def test_resume_is_exact(tmp_path):
+    """Interrupt-and-resume reproduces the uninterrupted run exactly:
+    params + optimizer state round-trip losslessly and the step loop
+    continues from next_step (reference auto_resume semantics +
+    deterministic samplers)."""
+    import argparse
+    import jax
+    import jax.numpy as jnp
+    from gava_clip_tpu.models.vita_clip import trainable_mask
+    from gava_clip_tpu.train.step import LossConfig, make_train_step
+    from tests.test_train_step import _tiny_model, _batch
+
+    model = _tiny_model(tmp_path, support_memory=False, add_nte=False)
+    mask = trainable_mask(model.params, model.cfg)
+    opt = make_optimizer(lr=1e-3, num_steps=10, weight_decay=0.1)
+    loss_cfg = LossConfig(num_classes=3)
+    step = make_train_step(model, loss_cfg, opt, donate=False)
+    batches = [
+        {"video": _batch(rs=np.random.RandomState(i))["video"],
+         "labels": _batch(rs=np.random.RandomState(i))["labels"]}
+        for i in range(4)]
+
+    # uninterrupted run: steps 0..3
+    s = create_train_state(model.params, mask, opt)
+    for b in batches:
+        s, _ = step(s, b)
+    want = jax.tree_util.tree_map(
+        np.asarray, combine_params(s.trainable, s.frozen))
+
+    # interrupted run: steps 0..1, save, restore, steps 2..3
+    s2 = create_train_state(model.params, mask, opt)
+    for b in batches[:2]:
+        s2, _ = step(s2, b)
+    ckpt_dir = str(tmp_path / "ck")
+    C.save_checkpoint(ckpt_dir, s2, 2)
+    fresh = create_train_state(model.params, mask, opt)
+    args = argparse.Namespace(pretrain=None, resume_path=None,
+                              auto_resume=True, checkpoint_dir=ckpt_dir)
+    s3, resume_step, _ = C.resume_from_checkpoint(fresh, mask, args)
+    assert resume_step == 2
+    for b in batches[resume_step:]:
+        s3, _ = step(s3, b)
+    got = jax.tree_util.tree_map(
+        np.asarray, combine_params(s3.trainable, s3.frozen))
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_orbax_roundtrip(tmp_path):
     state, mask, opt = _tiny_state()
     tf = np.ones((3, 8), np.float32)
