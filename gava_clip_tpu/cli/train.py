@@ -54,7 +54,8 @@ def loader_config_from_args(args) -> LoaderConfig:
         mem_batch_size=args.mem_batch_size, for_zero_shot=args.for_zero_shot,
         num_workers=args.num_workers, dummy_dataset=args.dummy_dataset,
         add_nte=args.add_nte, num_steps=args.num_steps or 0,
-        type=args.type, nfold=args.nfold, embed_dim=args.embed_dim)
+        type=args.type, nfold=args.nfold, embed_dim=args.embed_dim,
+        eval_all_views=getattr(args, 'eval_all_views', False))
 
 
 def _mean_std(args):
@@ -80,7 +81,7 @@ def evaluate(model, params, loader, num_classes: int, mean, std,
         video = normalize_frames(video_u8, mean, std, compute_dtype=jnp.float32)
         out = model.apply(params, model.buffers, video,
                           compute_dtype=compute_dtype, attn_impl=attn_impl)
-        return jnp.argmax(out["logits"], axis=-1)
+        return jax.nn.softmax(out["logits"], axis=-1)
 
     conf = np.zeros((num_classes, num_classes), np.int64)
     tot = hit1 = 0
@@ -90,7 +91,15 @@ def evaluate(model, params, loader, num_classes: int, mean, std,
         if n < batch_size:
             pad = np.repeat(video[-1:], batch_size - n, axis=0)
             video = np.concatenate([video, pad], axis=0)
-        preds = np.asarray(forward(params, jnp.asarray(video)))[:n]
+        if video.ndim == 6:
+            # multi-view eval: flatten views, average probabilities
+            B, V = video.shape[:2]
+            probs = np.asarray(forward(
+                params, jnp.asarray(video.reshape((B * V,) + video.shape[2:]))))
+            preds = probs.reshape(B, V, -1).mean(1).argmax(-1)[:n]
+        else:
+            preds = np.asarray(forward(params,
+                                       jnp.asarray(video))).argmax(-1)[:n]
         labels = np.asarray(batch["labels"])[:n]
         np.add.at(conf, (labels, preds), 1)
         tot += n

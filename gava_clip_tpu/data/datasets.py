@@ -35,6 +35,7 @@ class VideoDatasetConfig:
     cls_type: str = ""
     num_folds: int = 1
     nte_dim: int = 512
+    return_all_views: bool = False  # beyond parity: reference keeps view 0
 
 
 class VideoDataset:
@@ -109,8 +110,11 @@ class VideoDataset:
                 (NUM_COMB, cfg.nte_dim), np.float32)
             return frames_out, label, nte
         vidname = osp.basename(path).split(".")[0]
-        # the reference keeps only view 0 in all eval modes too
-        # (dataset.py:137-139 — the multi-view stack is commented out)
+        if cfg.return_all_views:
+            # beyond parity: expose every spatial x temporal view for
+            # logit-averaged evaluation (the reference always keeps view 0,
+            # dataset.py:137-139)
+            return views, label, vidname
         return views[0], label, vidname
 
 

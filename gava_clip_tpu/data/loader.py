@@ -52,6 +52,7 @@ class LoaderConfig:
     # misc
     num_workers: int = 4
     dummy_dataset: bool = False
+    eval_all_views: bool = False
     add_nte: bool = False
     num_steps: int = 0
     type: str = "updrs"
@@ -170,7 +171,8 @@ def create_val_loader(cfg: LoaderConfig, rank: int = 0, world_size: int = 1):
             num_temporal_views=cfg.num_temporal_views,
             random_sample=False, num_frames=cfg.num_frames,
             sampling_rate=-1 if cfg.tsn_sampling else cfg.sampling_rate,
-            spatial_size=cfg.spatial_size, is_train=False))
+            spatial_size=cfg.spatial_size, is_train=False,
+            return_all_views=cfg.eval_all_views))
     order = eval_sampler(len(ds), rank, world_size)
     batches = [order[i:i + cfg.batch_size]
                for i in range(0, len(order), cfg.batch_size)]

@@ -118,6 +118,9 @@ def setup_train_args(parser: argparse.ArgumentParser):
     parser.add_argument('--memory_loss_weight', type=float, default=0.1)
     parser.add_argument('--vnte_loss_weight', type=float, default=0.05)
     parser.add_argument('--detach', action='store_true')
+    parser.add_argument('--eval_all_views', action='store_true',
+                        help='average logits over all spatial x temporal eval '
+                             'views (beyond parity: the reference keeps view 0)')
     # observability (TPU-native addition; reference has print-only timing)
     parser.add_argument('--profile_dir', type=str, default='',
                         help='write a jax.profiler trace of a few train steps here')
