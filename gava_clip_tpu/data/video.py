@@ -138,16 +138,20 @@ def temporal_crop_indices(num_video_frames: int, num_frames: int,
 
 
 def keep_aspect_resize(frames: np.ndarray, spatial_size: int,
-                       interpolation=None, use_native: bool = True) -> np.ndarray:
+                       interpolation=None, use_native: bool = False) -> np.ndarray:
     """Short-side resize on uint8 frames (reference dataset.py:124-133),
-    bilinear with half-pixel centers (~ torch align_corners=False). Uses the
-    native threaded framepipe when built; cv2 otherwise."""
+    bilinear with half-pixel centers (~ torch align_corners=False).
+
+    cv2's SIMD fixed-point bilinear is the fast path (measured 2.2 ms vs
+    11.6 ms for the scalar C++ framepipe per 8x256x340 clip); the native
+    framepipe serves as a cv2-free fallback and for explicit opt-in."""
     T, H, W, C = frames.shape
     if H < W:
         new_h, new_w = spatial_size, W * spatial_size // H
     else:
         new_h, new_w = H * spatial_size // W, spatial_size
-    if use_native and frames.dtype == np.uint8 and interpolation is None:
+    if (use_native or cv2 is None) and frames.dtype == np.uint8 \
+            and interpolation is None:
         from . import native
         if native.available():
             return native.resize_bilinear(frames, new_h, new_w)
@@ -216,11 +220,11 @@ def random_resized_crop_params(height: int, width: int,
 def random_resized_crop(frames: np.ndarray, size: int,
                         scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0),
                         rng: Optional[np.random.RandomState] = None,
-                        use_native: bool = True) -> np.ndarray:
+                        use_native: bool = False) -> np.ndarray:
     """Temporally-consistent random resized crop on uint8 frames."""
     i, j, h, w = random_resized_crop_params(frames.shape[1], frames.shape[2],
                                             scale, ratio, rng)
-    if use_native and frames.dtype == np.uint8:
+    if (use_native or cv2 is None) and frames.dtype == np.uint8:
         from . import native
         if native.available():
             return native.crop_resize(frames, i, j, h, w, size, size)
