@@ -1,0 +1,87 @@
+"""Weight-only int8 quantization for serving.
+
+Per-output-channel symmetric int8 weights with fp32 scales halve HBM traffic
+again over bf16 (the ViT-B/16 inference path is partly weight-bandwidth
+bound at small batches). Dequantization happens next to the matmul —
+`w_i8.astype(bf16) * scale` — which XLA fuses into the GEMM prologue; a
+Pallas dequant-GEMM kernel is the follow-up if profiling shows the fusion
+missing.
+
+Only the big square projections are quantized (attention q/k/v/out, MLP
+fc1/fc2); embeddings, LayerNorms, heads and logit scales stay fp32/bf16.
+"""
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+QUANT_KEY_FRAGMENTS = ("attn", "mlp")
+
+
+def quantize_weight(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(in, out) or stacked (L, in, out) kernel -> (int8 values, fp32
+    per-output-channel scales)."""
+    w = np.asarray(w, np.float32)
+    absmax = np.abs(w).max(axis=-2, keepdims=True)
+    scale = absmax / 127.0
+    scale = np.where(scale == 0, 1.0, scale)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def dequantize_weight(q, scale, dtype=None):
+    import jax.numpy as jnp
+    dtype = dtype or jnp.bfloat16
+    return q.astype(dtype) * scale.astype(dtype)
+
+
+def quantize_tower_params(params: Dict) -> Dict:
+    """Quantize the projection kernels of a tower pytree in place-ish:
+    each targeted kernel leaf becomes {'q': int8, 'scale': fp32}."""
+    import jax
+
+    def visit(path, leaf):
+        keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        name = "/".join(keys)
+        arr = np.asarray(leaf)
+        if name.endswith("kernel") and arr.ndim >= 2 and \
+                any(f"/{k}/" in name for k in QUANT_KEY_FRAGMENTS):
+            q, scale = quantize_weight(arr)
+            return {"q": q, "scale": scale}
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def dequantize_tree(params: Dict, dtype=None) -> Dict:
+    """Materialize bf16 kernels from a quantized pytree (inside jit, so the
+    dequant fuses into consumers)."""
+    import jax
+
+    def is_quant(x):
+        return isinstance(x, dict) and set(x.keys()) == {"q", "scale"}
+
+    return jax.tree_util.tree_map(
+        lambda x: dequantize_weight(x["q"], x["scale"], dtype) if is_quant(x) else x,
+        params, is_leaf=is_quant)
+
+
+def quantization_error(params: Dict, quantized: Dict) -> float:
+    """Max relative Frobenius error across quantized kernels (diagnostic)."""
+    import jax
+
+    def is_quant(x):
+        return isinstance(x, dict) and set(x.keys()) == {"q", "scale"}
+
+    flat_p = {tuple(str(getattr(p, "key", p)) for p in path): np.asarray(leaf)
+              for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]}
+    errs = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            quantized, is_leaf=is_quant)[0]:
+        if is_quant(leaf):
+            key = tuple(str(getattr(p, "key", p)) for p in path)
+            orig = flat_p[key]
+            deq = np.asarray(leaf["q"], np.float32) * leaf["scale"]
+            errs.append(np.linalg.norm(deq - orig) / np.linalg.norm(orig))
+    return float(max(errs)) if errs else 0.0

@@ -24,7 +24,8 @@ class VideoClassifier:
 
     def __init__(self, model, params: Dict, classnames: Sequence[str],
                  batch_size: int = 16, mean=CLIP_MEAN, std=CLIP_STD,
-                 compute_dtype=None, attn_impl: Optional[str] = None):
+                 compute_dtype=None, attn_impl: Optional[str] = None,
+                 quantize: bool = False):
         import jax
         import jax.numpy as jnp
         self.model = model
@@ -36,17 +37,26 @@ class VideoClassifier:
         attn_impl = attn_impl or (
             "flash" if jax.default_backend() == "tpu" else "xla")
 
-        # serve with bf16 weights: halves HBM traffic and host->device bytes
-        self.params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if np.issubdtype(np.asarray(x).dtype, np.floating) else x, params)
+        if quantize:
+            # int8 projection weights (4x less HBM than fp32); dequantized
+            # next to each GEMM inside the jit
+            from .ops.quant import dequantize_tree, quantize_tower_params
+            self.params = quantize_tower_params(params)
+            prep = lambda p: dequantize_tree(p, compute_dtype)
+        else:
+            # bf16 weights: halves HBM traffic and host->device bytes
+            self.params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+                params)
+            prep = lambda p: p
 
         buffers = model.buffers
 
         @jax.jit
         def _forward(p, clips_u8):
             x = normalize_frames(clips_u8, mean, std)
-            out = model.apply(p, buffers, x, compute_dtype=compute_dtype,
+            out = model.apply(prep(p), buffers, x, compute_dtype=compute_dtype,
                               attn_impl=attn_impl)
             return jax.nn.softmax(out["logits"], axis=-1)
 
