@@ -103,7 +103,7 @@ def main(argv=None):
         def forward(params, video_u8):
             video = normalize_frames(video_u8, mean, std)
             out = model.apply(params, model.buffers, video)
-            return jnp.argmax(out["logits"], axis=-1)
+            return jax.nn.softmax(out["logits"], axis=-1)
 
         loader = create_val_loader(lcfg)
         tot = hit1 = 0
@@ -113,7 +113,15 @@ def main(argv=None):
             if n < args.batch_size:
                 video = np.concatenate(
                     [video, np.repeat(video[-1:], args.batch_size - n, axis=0)])
-            preds = np.asarray(forward(params, jnp.asarray(video)))[:n]
+            if video.ndim == 6:  # --eval_all_views: average view probabilities
+                B, V = video.shape[:2]
+                probs = np.asarray(forward(
+                    params,
+                    jnp.asarray(video.reshape((B * V,) + video.shape[2:]))))
+                preds = probs.reshape(B, V, -1).mean(1).argmax(-1)[:n]
+            else:
+                preds = np.asarray(forward(
+                    params, jnp.asarray(video))).argmax(-1)[:n]
             labels = np.asarray(batch["labels"])[:n]
             np.add.at(conf_total, (labels, preds), 1)
             tot += n
