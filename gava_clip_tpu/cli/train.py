@@ -27,7 +27,8 @@ from ..data.loader import (LoaderConfig, create_memory_loader,
 from ..data.video import parse_classes_file
 from ..models.factory import build_model_from_args
 from ..train import checkpoint as ckpt_lib
-from ..train.metrics import f1_from_confusion, summary_from_confusion
+from ..train.metrics import (StepAnomalyDetector, f1_from_confusion,
+                             summary_from_confusion)
 from ..train.state import create_train_state, make_optimizer
 from ..train.step import LossConfig, make_train_step
 from ..utils.config import (build_train_parser, remap_fold_data_root,
@@ -179,6 +180,7 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
 
     best_perf, best_acc = 0.0, 0.0
     save_conf = np.zeros((num_classes, num_classes), np.int64)
+    anomaly = StepAnomalyDetector()
     batch_st = train_st = time.time()
 
     # device-side augmentation (RandAugment + mirror) when requested;
@@ -222,6 +224,21 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
             loss_v = float(metrics["loss"])
             acc1 = float(metrics["acc1"])
             batch_ed = time.time()
+            slow = anomaly.check_step_time(batch_ed - batch_st)
+            if slow:
+                _log(f"[anomaly] {slow}")
+            if not anomaly.check_loss(loss_v):
+                _log(f"[anomaly] non-finite loss at step {i}")
+                if getattr(args, "nan_recovery", False):
+                    rollback = ckpt_lib.find_autoresume_path(args.checkpoint_dir)
+                    if rollback:
+                        from ..train.state import TrainState, partition_params
+                        ck = ckpt_lib.load_checkpoint(rollback)
+                        p = jax.tree_util.tree_map(jnp.asarray, ck["params"])
+                        tr, fz = partition_params(p, mask)
+                        state = TrainState(step=state.step, trainable=tr,
+                                           frozen=fz, opt_state=state.opt_state)
+                        _log(f"[anomaly] rolled back weights to {rollback}")
             txt = (f"step {i}  batch_time: {batch_ed - batch_st:.3f}  "
                    f"data_time: {data_ed - batch_st:.3f}  "
                    f"loss: {loss_v:.6f}  acc1: {acc1 * 100:.2f}%")

@@ -39,3 +39,31 @@ def summary_from_confusion(conf_mat: np.ndarray) -> Dict[str, object]:
         "precision": float(precision),
         "recall": float(recall),
     }
+
+
+class StepAnomalyDetector:
+    """Lightweight failure detection for the train loop: flags non-finite
+    losses and step-time outliers (> k x the running median). The reference
+    has no failure detection (SURVEY.md §5); this plus checkpoint rollback
+    forms the recovery story."""
+
+    def __init__(self, slow_factor: float = 5.0, window: int = 50):
+        self.slow_factor = slow_factor
+        self.times = []
+        self.window = window
+
+    def check_loss(self, loss_value: float) -> bool:
+        """True if the loss is usable; False on NaN/inf."""
+        return bool(np.isfinite(loss_value))
+
+    def check_step_time(self, seconds: float):
+        """Returns a warning string for outlier steps, else None."""
+        self.times.append(seconds)
+        if len(self.times) > self.window:
+            self.times.pop(0)
+        if len(self.times) >= 10:
+            med = float(np.median(self.times))
+            if seconds > self.slow_factor * med:
+                return (f"step took {seconds:.2f}s "
+                        f"({seconds / med:.1f}x the median {med:.2f}s)")
+        return None

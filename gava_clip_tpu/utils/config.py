@@ -124,6 +124,10 @@ def setup_train_args(parser: argparse.ArgumentParser):
     # observability (TPU-native addition; reference has print-only timing)
     parser.add_argument('--profile_dir', type=str, default='',
                         help='write a jax.profiler trace of a few train steps here')
+    parser.add_argument('--nan_recovery', action='store_true',
+                        help='on a non-finite loss, roll back to the last '
+                             'checkpoint and continue (failure detection; '
+                             'the reference has none, SURVEY.md §5)')
 
 
 def build_train_parser() -> argparse.ArgumentParser:
