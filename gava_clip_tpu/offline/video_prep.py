@@ -258,3 +258,31 @@ def annotations_to_csv(video_dir: str, out_csv: str,
     with open(out_csv, "w", newline="") as f:
         csv.writer(f).writerows(rows)
     return rows
+
+
+def class_distribution(chunks_root: str, nfold: Optional[int] = None) -> Dict:
+    """Per-class sample counts across folds (reference
+    train_utils.get_average_class_distribution, :250-296)."""
+    import csv as _csv
+    folds = sorted(d for d in os.listdir(chunks_root)
+                   if d.startswith("chunks_") and
+                   osp.isdir(osp.join(chunks_root, d)))
+    if nfold is not None:
+        folds = folds[:nfold]
+    score_counts: Dict[int, int] = {}
+    diag_counts: Dict[int, int] = {}
+    for fold in folds:
+        for split in ("train", "val"):
+            for name, counts in (("diag", diag_counts), ("updrs", score_counts)):
+                path = osp.join(chunks_root, fold, f"{split}_{name}.csv")
+                if not osp.isfile(path):
+                    continue
+                with open(path) as f:
+                    for row in _csv.reader(f):
+                        if row:
+                            lab = int(row[1])
+                            counts[lab] = counts.get(lab, 0) + 1
+    n = max(len(folds), 1)
+    return {"updrs": {k: v / n for k, v in sorted(score_counts.items())},
+            "diag": {k: v / n for k, v in sorted(diag_counts.items())},
+            "nfold": len(folds)}

@@ -138,3 +138,19 @@ def test_load_label_table_csv(tmp_path):
                                  ["Subject_1_walk", 1, 2]])
     t = load_label_table(str(p))
     assert t == {"Subject_1_walk": (1, 2)}
+
+
+def test_class_distribution(tmp_path):
+    from gava_clip_tpu.offline.video_prep import class_distribution
+    for n in (0, 1):
+        d = tmp_path / f"chunks_{n}"
+        d.mkdir()
+        for split in ("train", "val"):
+            with open(d / f"{split}_updrs.csv", "w", newline="") as f:
+                csv.writer(f).writerows([["a.mp4", 0], ["b.mp4", 1]])
+            with open(d / f"{split}_diag.csv", "w", newline="") as f:
+                csv.writer(f).writerows([["a.mp4", 1], ["b.mp4", 1]])
+    dist = class_distribution(str(tmp_path))
+    assert dist["nfold"] == 2
+    assert dist["updrs"] == {0: 2.0, 1: 2.0}
+    assert dist["diag"] == {1: 4.0}
