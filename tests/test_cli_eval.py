@@ -67,6 +67,27 @@ def test_evaluate_driver(trained_run, monkeypatch):
     assert outs, "evaluation report not written"
 
 
+def test_iwa_driver(trained_run, monkeypatch):
+    """IWA over two copies of the trained run (weights equal across models
+    is fine for a pipeline smoke test)."""
+    import shutil
+    from gava_clip_tpu.cli.iwa import main as iwa_main
+    tmp, classes, logdir = trained_run
+    logdir2 = logdir + "_copy"
+    if not osp.isdir(logdir2):
+        shutil.copytree(logdir, logdir2)
+    monkeypatch.chdir(tmp)
+    perf, conf = iwa_main([
+        "--model_dirs", logdir, logdir2,
+        "--data_root", str(tmp),
+        "--val_list_path", str(tmp / "val_updrs.csv"),
+        "--text_prompt_classes_path", str(classes),
+        "--batch_size", "2", "--type", "updrs",
+    ])
+    assert len(perf) == 1 and 0.0 <= perf[0] <= 1.0
+    assert conf.sum() == 4
+
+
 def test_analysis_driver(trained_run, monkeypatch):
     from gava_clip_tpu.cli.analysis import main as analysis_main
     tmp, classes, logdir = trained_run
