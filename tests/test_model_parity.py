@@ -157,6 +157,45 @@ def test_train_forward_parity(ref_env):
     assert np.isfinite(np.asarray(out0["logits_vm"])).all()
 
 
+def test_gradient_parity(ref_env):
+    """d(sum logits)/d(params) matches torch autograd for representative
+    trainable leaves (prompt ctx, KAPT projector, local/global prompts,
+    time_embed, logit_scale)."""
+    import torch
+    ref, model, params = _build_models(ref_env, support_memory=False,
+                                       add_nte=False)
+    rs = np.random.RandomState(13)
+    x = rs.randn(2, 4, 32, 32, 3).astype(np.float32)
+
+    ref.train()
+    for p in ref.parameters():
+        if p.grad is not None:
+            p.grad = None
+    logits, _, _ = ref(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+    logits.sum().backward()
+
+    def loss_fn(p):
+        out = model.apply(p, model.buffers, jnp.asarray(x))
+        return out["logits"].sum()
+
+    grads = jax.grad(loss_fn)(params)
+
+    pairs = [
+        (ref.prompt_learner.ctx.grad, grads["prompt"]["ctx"]),
+        (ref.prompt_learner.context_prompt_learner.projector[1][0].weight.grad.T,
+         grads["prompt"]["projector"]["w1"][1]),
+        (ref.visual.time_embed.grad, grads["visual"]["time_embed"]),
+        (ref.visual.global_prompts.grad, grads["visual"]["global_prompts"]),
+        (ref.visual.blocks[0].local_prompts.grad,
+         jax.tree_util.tree_map(lambda a: a[0],
+                                grads["visual"]["blocks"]["local_prompts"])),
+        (ref.logit_scale.grad, grads["logit_scale"]),
+    ]
+    for want, got in pairs:
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_zero_shot_forward_parity(ref_env, tmp_path):
     import torch
     ref_mod, tmp, classes_path = ref_env
