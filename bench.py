@@ -49,6 +49,10 @@ def main():
         lambda x: x.astype(jnp.bfloat16)
         if np.issubdtype(x.dtype, np.floating) else x,
         model.params)
+    # commit to device ONCE — numpy (uncommitted) args would re-transfer
+    # ~150MB through the tunnel on every jitted call
+    params = jax.device_put(params, jax.devices()[0])
+    buffers = jax.device_put(buffers, jax.devices()[0])
 
     attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
     # full layer unroll measured +6% over scan at inference (364 vs 343 c/s)

@@ -111,7 +111,7 @@ def main(argv=None):
                 params = jax.tree_util.tree_map(
                     jnp.asarray, merge_pytrees(model.params, loaded))
             else:
-                params = model.params
+                params = jax.tree_util.tree_map(jnp.asarray, model.params)
 
             lcfg = loader_config_from_args(margs)
             lcfg.val_list_path = osp.join(margs.data_root, f"train_{margs.type}.csv")

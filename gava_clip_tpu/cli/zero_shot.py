@@ -95,7 +95,7 @@ def main(argv=None):
     model = build_model_from_args(args_zs, num_classes,
                                   zeroshot_text_features=text_features)
 
-    params = model.params
+    params = jax.tree_util.tree_map(jnp.asarray, model.params)
     if args.pretrained_vlm and osp.isfile(args.pretrained_vlm):
         _log(f"Loading checkpoint from {args.pretrained_vlm}")
         ckpt = load_checkpoint(args.pretrained_vlm)

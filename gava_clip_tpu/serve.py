@@ -50,8 +50,10 @@ class VideoClassifier:
                 if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
                 params)
             prep = lambda p: p
+        # commit weights to device once (numpy args re-transfer every call)
+        self.params = jax.device_put(self.params, jax.devices()[0])
 
-        buffers = model.buffers
+        buffers = jax.device_put(model.buffers, jax.devices()[0])
 
         @jax.jit
         def _forward(p, clips_u8):
