@@ -60,6 +60,10 @@ class TrainState:
 
 
 def create_train_state(params: Dict, mask: Dict, optimizer) -> TrainState:
+    # place params on device now: numpy leaves (host-side init) would
+    # re-transfer through the jit boundary on EVERY step — the frozen
+    # subtree in particular is never rebuilt by the step function
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     trainable, frozen = partition_params(params, mask)
     opt_state = optimizer.init(trainable)
     return TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
