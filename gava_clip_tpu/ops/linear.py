@@ -11,7 +11,13 @@ import jax.numpy as jnp
 
 
 def linear(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
-    y = x @ params["kernel"].astype(x.dtype)
+    kernel = params["kernel"]
+    if isinstance(kernel, dict) and "q" in kernel:
+        # weight-only int8 leaf ({'q','scale'} from ops.quant): use the
+        # Pallas dequant-GEMM so the bf16 weights never materialize in HBM
+        from .int8_matmul import quantized_linear
+        return quantized_linear(params, x)
+    y = x @ kernel.astype(x.dtype)
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"].astype(x.dtype)
     return y

@@ -38,18 +38,18 @@ class VideoClassifier:
             "flash" if jax.default_backend() == "tpu" else "xla")
 
         if quantize:
-            # int8 projection weights (4x less HBM than fp32); dequantized
-            # next to each GEMM inside the jit
-            from .ops.quant import dequantize_tree, quantize_tower_params
+            # weight-only int8 projections via the Pallas dequant-GEMM
+            # (ops/int8_matmul.py; wired through ops.linear). Measured on
+            # v5e: 5% faster at B=1 (weight-bandwidth bound), slower at
+            # B>=16 (compute bound) — use for latency-sensitive serving.
+            from .ops.quant import quantize_tower_params
             self.params = quantize_tower_params(params)
-            prep = lambda p: dequantize_tree(p, compute_dtype)
         else:
             # bf16 weights: halves HBM traffic and host->device bytes
             self.params = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)
                 if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
                 params)
-            prep = lambda p: p
         # commit weights to device once (numpy args re-transfer every call)
         self.params = jax.device_put(self.params, jax.devices()[0])
 
@@ -58,7 +58,7 @@ class VideoClassifier:
         @jax.jit
         def _forward(p, clips_u8):
             x = normalize_frames(clips_u8, mean, std)
-            out = model.apply(prep(p), buffers, x, compute_dtype=compute_dtype,
+            out = model.apply(p, buffers, x, compute_dtype=compute_dtype,
                               attn_impl=attn_impl)
             return jax.nn.softmax(out["logits"], axis=-1)
 
