@@ -170,6 +170,7 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
                                         compute_dtype=compute_dtype)
 
     writer = None
+    metrics_jsonl = None
     if logdir:
         try:
             from torch.utils.tensorboard import SummaryWriter
@@ -177,6 +178,8 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
         except ImportError:
             pass
         args.checkpoint_dir = osp.join(logdir, f"fold_{fold}")
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        metrics_jsonl = osp.join(args.checkpoint_dir, "metrics.jsonl")
 
     best_perf, best_acc = 0.0, 0.0
     save_conf = np.zeros((num_classes, num_classes), np.int64)
@@ -250,6 +253,15 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
             if writer is not None:
                 writer.add_scalar("train/accuracy", acc1, i + 1)
                 writer.add_scalar("train/loss", loss_v, i + 1)
+            if metrics_jsonl:
+                import json as _json
+                rec = {"step": i, "loss": loss_v, "acc1": acc1,
+                       "batch_time_s": round(batch_ed - batch_st, 4)}
+                for k in ("loss_mt", "loss_vm"):
+                    if k in metrics:
+                        rec[k] = float(metrics[k])
+                with open(metrics_jsonl, "a") as mf:
+                    mf.write(_json.dumps(rec) + "\n")
 
         if (i + 1) % args.eval_freq == 0:
             _log(f"Start model evaluation at step {i + 1}")
@@ -260,6 +272,11 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
             eval_perf = float(f1_from_confusion(conf).mean())
             if writer is not None:
                 writer.add_scalar("test/accuracy", eval_acc, i + 1)
+            if metrics_jsonl:
+                import json as _json
+                with open(metrics_jsonl, "a") as mf:
+                    mf.write(_json.dumps({"step": i + 1, "eval_acc": eval_acc,
+                                          "eval_macro_f1": eval_perf}) + "\n")
             if eval_perf >= best_perf:
                 best_perf, best_acc = eval_perf, eval_acc
                 save_conf = conf
