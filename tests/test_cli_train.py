@@ -81,6 +81,12 @@ def test_train_driver_end_to_end(tmp_path, monkeypatch):
     assert "confusion_matrix_fold-0.txt" in files
     fold_files = os.listdir(os.path.join(logdir, "fold_0"))
     assert any(f.startswith("fold-0-best") for f in fold_files)
+    assert "metrics.jsonl" in fold_files
+    import json
+    with open(os.path.join(logdir, "fold_0", "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert any("loss" in r for r in records)
+    assert any("eval_macro_f1" in r for r in records)
 
     with open(os.path.join(logdir, "results.txt")) as f:
         txt = f.read()
