@@ -298,6 +298,53 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
     return best_acc, save_conf
 
 
+def eval_only_fold(args, fold: int, classnames: List[str], num_classes: int):
+    """--eval_only: load the fold's best checkpoint into the full model and
+    evaluate on the val split (reference train.py:266,373-387)."""
+    import jax
+    import jax.numpy as jnp
+    from ..utils.torch_convert import merge_pytrees
+
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    mean, std = _mean_std(args)
+
+    ckpt_path = args.checkpoint_path
+    if not ckpt_path or not osp.isfile(ckpt_path):
+        for base in (args.checkpoint_dir or "",
+                     osp.join(args.checkpoint_dir or "", f"fold_{fold}")):
+            for ext in (".ckpt", ".pth"):
+                p = osp.join(base, f"fold-{fold}-best{ext}")
+                if osp.isfile(p):
+                    ckpt_path = p
+                    break
+            if ckpt_path and osp.isfile(ckpt_path):
+                break
+    assert ckpt_path and osp.isfile(ckpt_path), "Checkpoint file not found."
+    _log(f"eval_only: loading {ckpt_path}")
+
+    model = build_model_from_args(args, num_classes, classnames=classnames)
+    ckpt = ckpt_lib.load_checkpoint(ckpt_path)
+    if "torch_state_dict" in ckpt:
+        from ..utils.torch_convert import convert_vita_clip
+        variant = "class_uni" if args.text_prompt_init else None
+        loaded = convert_vita_clip(ckpt["torch_state_dict"],
+                                   vision_layers=args.num_layers,
+                                   text_layers=args.text_transformer_layers,
+                                   num_classes=num_classes,
+                                   prompt_variant=variant)
+    else:
+        loaded = ckpt["params"]
+    params = jax.tree_util.tree_map(
+        jnp.asarray, merge_pytrees(model.params, loaded))
+
+    lcfg = loader_config_from_args(args)
+    val_loader = create_val_loader(lcfg)
+    acc, conf = evaluate(model, params, val_loader, num_classes, mean, std,
+                         compute_dtype, args.batch_size, attn_impl=attn_impl)
+    return acc, conf
+
+
 def main(argv=None):
     parser = build_train_parser()
     args = parser.parse_args(argv)
@@ -326,9 +373,12 @@ def main(argv=None):
         result_file = osp.join(logdir, "results.txt")
 
     for n in range(args.nfold):
-        if not args.eval_only:
+        if args.eval_only:
+            best_acc, conf = eval_only_fold(args, n, classnames, num_classes)
+        else:
             remap_fold_data_root(args, n)
-        best_acc, conf = train_one_fold(args, n, classnames, num_classes, logdir)
+            best_acc, conf = train_one_fold(args, n, classnames, num_classes,
+                                            logdir)
         performances.append(best_acc)
         all_conf += conf
         if logdir:
@@ -336,6 +386,21 @@ def main(argv=None):
                        conf, fmt="%d")
             with open(result_file, "w") as f:
                 f.write(" ".join(f"fold-{i} {x}" for i, x in enumerate(performances)))
+
+    if args.eval_only:
+        # aggregate eval report (reference train.py:592-606)
+        os.makedirs("./eval_output", exist_ok=True)
+        tag = f"{args.type.split('_')[0]}_eval"
+        avg = float(np.mean(performances)) if performances else 0.0
+        _log(f"Eval top-1 accuracy: {avg:.4f}%")
+        with open(osp.join("./eval_output", f"{tag}.txt"), "w") as f:
+            f.write("  ".join(f"fold-{fi} {x}"
+                              for fi, x in enumerate(performances)) + "\n")
+            f.write(f"Eval top-1 accuracy: {avg:.4f}%.\n")
+            f.write("Confusion matrix:\n")
+            for row in all_conf:
+                f.write(" ".join(str(int(x)) for x in row) + "\n")
+        return performances, all_conf
 
     if logdir:
         s = summary_from_confusion(all_conf)

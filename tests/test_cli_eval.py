@@ -67,6 +67,25 @@ def test_evaluate_driver(trained_run, monkeypatch):
     assert outs, "evaluation report not written"
 
 
+def test_train_eval_only_mode(trained_run, monkeypatch):
+    """`train.py --eval_only` (the reference eval_scripts path) evaluates the
+    fold-best checkpoint of a finished run."""
+    from gava_clip_tpu.cli.train import main as train_main
+    tmp, classes, logdir = trained_run
+    monkeypatch.chdir(tmp)
+    perf, conf = train_main(TINY_ARGS + [
+        "--eval_only",
+        "--checkpoint_dir", osp.join(logdir, "fold_0"),
+        "--data_root", str(tmp),
+        "--val_list_path", str(tmp / "val_updrs.csv"),
+        "--text_prompt_classes_path", str(classes),
+        "--knowledge_dir", str(tmp / "ke_updrs"),
+    ])
+    assert len(perf) == 1 and 0.0 <= perf[0] <= 100.0
+    assert conf.sum() == 4
+    assert osp.isfile("./eval_output/updrs_eval.txt")
+
+
 def test_iwa_driver(trained_run, monkeypatch):
     """IWA over two copies of the trained run (weights equal across models
     is fine for a pipeline smoke test)."""
