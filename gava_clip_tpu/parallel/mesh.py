@@ -19,12 +19,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def create_mesh(n_devices: Optional[int] = None,
                 axis_names: Sequence[str] = ("data",),
-                mesh_shape: Optional[Sequence[int]] = None) -> Mesh:
-    devices = jax.devices()
+                mesh_shape: Optional[Sequence[int]] = None,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """Build a named device mesh.
+
+    Raises a clear error when fewer devices are available than requested
+    (instead of an opaque reshape failure). Pass `devices` explicitly to
+    build a mesh over a non-default backend (e.g. the virtual CPU mesh the
+    driver's dryrun uses when real chips are short).
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"create_mesh: {n_devices} devices requested but only "
+                f"{len(devices)} available ({devices[0].platform} backend). "
+                "For host emulation set XLA_FLAGS="
+                "--xla_force_host_platform_device_count=<n> and force the "
+                "cpu platform before any jax device use.")
         devices = devices[:n_devices]
     if mesh_shape is None:
         mesh_shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    want = int(np.prod(mesh_shape))
+    if want != len(devices):
+        raise ValueError(
+            f"create_mesh: mesh_shape {tuple(mesh_shape)} needs {want} "
+            f"devices, have {len(devices)}")
     return Mesh(np.asarray(devices).reshape(tuple(mesh_shape)), axis_names)
 
 
