@@ -120,8 +120,10 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
 
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
-    # rematerialize the vision blocks for long clips (T=70 flagship)
-    remat = args.num_frames >= 16
+    # rematerialize the vision blocks for long clips (T=70 flagship);
+    # short clips fit activations in HBM without recompute
+    remat = getattr(args, "remat_policy", "dots") \
+        if args.num_frames >= 16 else False
     mean, std = _mean_std(args)
 
     from ..models.vita_clip import trainable_mask
@@ -147,10 +149,12 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
         memory_loss_weight=args.memory_loss_weight,
         vnte_loss_weight=args.vnte_loss_weight)
 
+    # donate=True: the TrainState buffers are reused in-place every step
+    # (this is the measured configuration — see PROGRESS.md)
     step_fn = make_train_step(model, loss_cfg, optimizer,
                               batch_split=args.batch_split,
                               compute_dtype=compute_dtype,
-                              attn_impl=attn_impl, remat=remat, donate=False)
+                              attn_impl=attn_impl, remat=remat, donate=True)
 
     # data-parallel mesh over all local devices: params replicated, batches
     # sharded on 'data'; XLA inserts the gradient all-reduce (SURVEY.md §2.6)

@@ -75,12 +75,12 @@ def text_transformer(params, x: jax.Array, cfg: TextConfig,
     from the second block on, tokens [1:1+P] are replaced by that layer's
     learned prompts before the block (reference Transformer.forward,
     VitaCLIP_text_encoder.py:97-118)."""
-    mask = causal_mask(x.shape[1])
-
     def block_fn(h, p):
         hn = layer_norm(h, p["ln_1"]["scale"], p["ln_1"]["bias"])
+        # causal=True routes the flash impl through the streaming kernel's
+        # in-kernel causal mask; the xla impl builds the additive mask
         h = h + multi_head_attention(p["attn"], hn, hn, hn, cfg.heads,
-                                     mask=mask, impl=attn_impl)
+                                     impl=attn_impl, causal=True)
         hn = layer_norm(h, p["ln_2"]["scale"], p["ln_2"]["bias"])
         h = h + mlp(p["mlp"], hn, quick_gelu)
         return h, None

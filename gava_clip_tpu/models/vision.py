@@ -218,7 +218,19 @@ def vision_encoder(params, x: jax.Array, cfg: VisionConfig,
             summary = jnp.zeros((Bb, Tb, D), h.dtype)
         return (h, summary), None
 
-    body = jax.checkpoint(scan_body) if remat else scan_body
+    # remat: False/"none" saves all activations; True/"full" recomputes the
+    # whole block in backward (lowest memory); "dots" saves GEMM outputs and
+    # recomputes only the batched attention einsums + elementwise ops
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable — the
+    # transformer-standard policy, trading HBM for ~half the recompute)
+    if remat == "dots":
+        body = jax.checkpoint(
+            scan_body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif remat and remat != "none":
+        body = jax.checkpoint(scan_body)
+    else:
+        body = scan_body
     init_summary = jnp.zeros((Bb, Tb, D), x.dtype)
     (x, summary), _ = jax.lax.scan(body, (x, init_summary),
                                    (params["blocks"], g_prompts),

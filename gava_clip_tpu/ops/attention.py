@@ -27,11 +27,15 @@ from .linear import linear
 def attention_core(q: jax.Array, k: jax.Array, v: jax.Array,
                    num_heads: int,
                    mask: Optional[jax.Array] = None,
-                   impl: str = "xla") -> jax.Array:
+                   impl: str = "xla",
+                   causal: bool = False) -> jax.Array:
     """Scaled dot-product attention over projected q/k/v.
 
     q: (B, Lq, H*Dh), k/v: (B, Lk, H*Dh). mask: additive (Lq, Lk) or
-    broadcastable, applied in fp32 before softmax. Returns (B, Lq, H*Dh).
+    broadcastable, applied in fp32 before softmax. `causal=True` is the
+    structured form of the text tower's triangular mask — the flash path
+    handles it in-kernel (tile skipping) instead of via an additive mask.
+    Returns (B, Lq, H*Dh).
     """
     B, Lq, D = q.shape
     Lk = k.shape[1]
@@ -39,7 +43,10 @@ def attention_core(q: jax.Array, k: jax.Array, v: jax.Array,
 
     if impl == "flash" and mask is None:
         from .flash_attention import flash_attention
-        return flash_attention(q, k, v, num_heads)
+        return flash_attention(q, k, v, num_heads, causal=causal)
+    if causal and mask is None:
+        mask = jnp.where(
+            jnp.tril(jnp.ones((Lq, Lk), bool)), 0.0, -jnp.inf)
 
     qh = q.reshape(B, Lq, num_heads, Dh)
     kh = k.reshape(B, Lk, num_heads, Dh)
@@ -59,10 +66,12 @@ def attention_core(q: jax.Array, k: jax.Array, v: jax.Array,
 def multi_head_attention(params: Dict, q: jax.Array, k: jax.Array,
                          v: jax.Array, num_heads: int,
                          mask: Optional[jax.Array] = None,
-                         impl: str = "xla") -> jax.Array:
+                         impl: str = "xla",
+                         causal: bool = False) -> jax.Array:
     """Full attention module: project q/k/v, attend, project out."""
     qp = linear(params["q"], q)
     kp = linear(params["k"], k)
     vp = linear(params["v"], v)
-    out = attention_core(qp, kp, vp, num_heads, mask=mask, impl=impl)
+    out = attention_core(qp, kp, vp, num_heads, mask=mask, impl=impl,
+                         causal=causal)
     return linear(params["out"], out)

@@ -1,22 +1,29 @@
-"""Pallas TPU attention kernel for the vision tower's hot path.
+"""Pallas TPU attention kernels.
 
-Design, tuned for the Vita-CLIP shape regime (short sequences of ~200-280
-tokens per frame row, huge effective batch B*T, 12 heads x 64 dims):
+Two regimes, dispatched by shape (both on the packed (B, L, H*Dh) activation
+layout the q/k/v projections produce — no head relayout in HBM for the hot
+path):
 
-  * operates directly on the packed (B, L, H*Dh) activation layout that the
-    q/k/v projections produce — NO head transpose/relayout in HBM (a
-    head-major (B,H,L,D) kernel was measured slower end-to-end because the
-    relayout traffic exceeded the kernel win);
-  * one grid cell per batch row holds the whole padded sequence in VMEM and
-    loops the heads, computing qk^T -> masked fp32 softmax -> @v per head;
-    the (L, L) score tile never touches HBM;
-  * sequence padded to the 128-lane boundary, padded keys masked with -inf.
+1. **Packed whole-row kernels** for the Vita-CLIP shape regime (short
+   sequences of ~200-400 tokens per frame row, huge effective batch B*T,
+   12 heads x 64 dims — reference attention semantics:
+   training/VitaCLIP_vision_encoder_utils.py:31-81):
+     * forward: one grid cell per batch row holds the whole padded sequence
+       in VMEM and loops the heads; the (L, L) fp32 score tile never touches
+       HBM. Measured on v5e (L=214, B=512, bf16): 8.5 ms vs 15.7 ms for the
+       XLA einsum composition — 1.85x.
+     * backward: same whole-row layout; recomputes scores/softmax in VMEM
+       per head (no lse/probs residuals in HBM at all) and emits dq/dk/dv
+       from one kernel. Replaces the round-1 XLA-recompute fallback, which
+       materialized the (B, H, L, L) probs tensor in HBM during backward.
 
-Measured on v5e (L=214, B=512, bf16): 8.5 ms vs 15.7 ms for the XLA einsum
-composition — 1.85x.
+2. **Streaming flash** for long sequences and the causal text tower: wraps
+   the stock `jax.experimental.pallas.ops.tpu.flash_attention` (KV-blocked
+   online softmax, fwd + bwd kernels) with a packed<->head-major relayout
+   (O(L) relayout amortized against O(L^2) attention at these lengths) and
+   128-boundary padding via segment ids.
 
-Backward: custom VJP recomputing attention via the einsum path (remat — the
-right trade on TPU since the forward never stored the score tensor).
+CPU tests run both paths in interpret mode.
 """
 
 import functools
@@ -26,10 +33,18 @@ import jax.numpy as jnp
 
 from jax.experimental import pallas as pl
 
+# above this key length the whole-row VMEM layout stops being the right
+# trade (score tile is Lq x Lk fp32 per head) and the streaming kernel wins
+_PACKED_MAX_LK = 640
+
 
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
+
+# ---------------------------------------------------------------------------
+# packed whole-row kernels (short L, no mask)
+# ---------------------------------------------------------------------------
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                       lk_valid: int, num_heads: int, head_dim: int):
@@ -51,17 +66,57 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
 
-def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
-                   num_heads: int) -> jax.Array:
+def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
+                          dq_ref, dk_ref, dv_ref, *, scale: float,
+                          lk_valid: int, num_heads: int, head_dim: int):
+    """Whole-row flash backward: recompute scores/softmax per head in VMEM,
+    then dp = do@v^T, ds = p*(dp - rowsum(p*dp)), dq = ds@k, dk = ds^T@q,
+    dv = p^T@do. No residuals are read from HBM."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    Lq, Lk = q.shape[0], k.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
+    contract_q = (((0,), (0,)), ((), ()))     # (Lq,Lk) x (Lq,Dh) -> (Lk,Dh)
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if lk_valid < Lk:
+            scores = jnp.where(col < lk_valid, scores, -jnp.inf)
+        p = jax.nn.softmax(scores, axis=-1)                      # fp32
+        dp = jax.lax.dot_general(
+            doh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (Lq, Lk)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)          # (Lq, 1)
+        ds = p * (dp - delta)                                    # fp32
+        ds_c = ds.astype(v.dtype)
+        p_c = p.astype(v.dtype)
+        dq = jnp.dot(ds_c, kh, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds_c, qh, contract_q,
+                                 preferred_element_type=jnp.float32) * scale
+        dv = jax.lax.dot_general(p_c, doh, contract_q,
+                                 preferred_element_type=jnp.float32)
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _pad_seq(x, Lp):
+    if x.shape[1] == Lp:
+        return x
+    return jnp.pad(x, ((0, 0), (0, Lp - x.shape[1]), (0, 0)))
+
+
+def _packed_forward(q: jax.Array, k: jax.Array, v: jax.Array,
+                    num_heads: int) -> jax.Array:
     B, Lq, D = q.shape
     Lk = k.shape[1]
     head_dim = D // num_heads
     Lqp, Lkp = _ceil_to(Lq, 128), _ceil_to(Lk, 128)
-
-    def pad(x, Lp):
-        if x.shape[1] == Lp:
-            return x
-        return jnp.pad(x, ((0, 0), (0, Lp - x.shape[1]), (0, 0)))
 
     blk_q = pl.BlockSpec((1, Lqp, D), lambda b: (b, 0, 0))
     blk_kv = pl.BlockSpec((1, Lkp, D), lambda b: (b, 0, 0))
@@ -73,11 +128,102 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
         out_specs=blk_q,
         out_shape=jax.ShapeDtypeStruct((B, Lqp, D), q.dtype),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
-    )(pad(q, Lqp), pad(k, Lkp), pad(v, Lkp))
+    )(_pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp))
     return out[:, :Lq]
 
 
-def _reference_attention(q, k, v, num_heads):
+def _packed_backward(q, k, v, do, num_heads: int):
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    head_dim = D // num_heads
+    Lqp, Lkp = _ceil_to(Lq, 128), _ceil_to(Lk, 128)
+
+    blk_q = pl.BlockSpec((1, Lqp, D), lambda b: (b, 0, 0))
+    blk_kv = pl.BlockSpec((1, Lkp, D), lambda b: (b, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attention_bwd_kernel, scale=head_dim ** -0.5,
+                          lk_valid=Lk, num_heads=num_heads, head_dim=head_dim),
+        grid=(B,),
+        in_specs=[blk_q, blk_kv, blk_kv, blk_q],
+        out_specs=[blk_q, blk_kv, blk_kv],
+        out_shape=[jax.ShapeDtypeStruct((B, Lqp, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, Lkp, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, Lkp, D), v.dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(_pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp), _pad_seq(do, Lqp))
+    return dq[:, :Lq], dk[:, :Lk], dv[:, :Lk]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _packed_flash(q, k, v, num_heads):
+    return _packed_forward(q, k, v, num_heads)
+
+
+def _packed_fwd(q, k, v, num_heads):
+    return _packed_forward(q, k, v, num_heads), (q, k, v)
+
+
+def _packed_bwd(num_heads, res, g):
+    q, k, v = res
+    return _packed_backward(q, k, v, g, num_heads)
+
+
+_packed_flash.defvjp(_packed_fwd, _packed_bwd)
+
+
+# ---------------------------------------------------------------------------
+# streaming flash (long L / causal): stock TPU kernel + packed relayout
+# ---------------------------------------------------------------------------
+
+def _streaming_flash(q, k, v, num_heads: int, causal: bool):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention as _tpu_flash)
+
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    Dh = D // num_heads
+    Lqp, Lkp = _ceil_to(Lq, 128), _ceil_to(Lk, 128)
+
+    def head_major(x, Lp):
+        x = _pad_seq(x, Lp)
+        return x.reshape(B, Lp, num_heads, Dh).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = head_major(q, Lqp), head_major(k, Lkp), head_major(v, Lkp)
+
+    seg = None
+    if (Lq != Lqp or Lk != Lkp) and not (causal and Lq == Lk and Lqp == Lkp):
+        # mask padded kv columns out of valid rows (causal equal-length
+        # padding needs nothing: padded cols are above every valid diagonal)
+        q_seg = (jnp.arange(Lqp) >= Lq).astype(jnp.int32)[None].repeat(B, 0)
+        kv_seg = (jnp.arange(Lkp) >= Lk).astype(jnp.int32)[None].repeat(B, 0)
+        seg = SegmentIds(q=q_seg, kv=kv_seg)
+
+    call = functools.partial(_tpu_flash, qh, kh, vh, segment_ids=seg,
+                             causal=causal, sm_scale=Dh ** -0.5)
+    if jax.default_backend() != "tpu":
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            out = call()
+    else:
+        out = call()
+    out = out.transpose(0, 2, 1, 3).reshape(B, Lqp, D)
+    return out[:, :Lq]
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    num_heads: int = 12, causal: bool = False) -> jax.Array:
+    """Self-attention over packed (B, L, H*Dh) q/k/v.
+
+    Non-causal short-L goes through the whole-row packed kernels (fwd + bwd);
+    causal or long-L goes through the streaming (KV-blocked online-softmax)
+    kernels. Both are differentiable with Pallas backward passes.
+    """
+    if not causal and k.shape[1] <= _PACKED_MAX_LK:
+        return _packed_flash(q, k, v, num_heads)
+    return _streaming_flash(q, k, v, num_heads, causal)
+
+
+def _reference_attention(q, k, v, num_heads, causal: bool = False):
     B, Lq, D = q.shape
     Dh = D // num_heads
     qh = q.reshape(B, Lq, num_heads, Dh)
@@ -85,27 +231,9 @@ def _reference_attention(q, k, v, num_heads):
     vh = v.reshape(B, v.shape[1], num_heads, Dh)
     scores = jnp.einsum("bqhd,bkhd->bhqk", qh * (Dh ** -0.5), kh,
                         preferred_element_type=jnp.float32)
+    if causal:
+        mask = jnp.tril(jnp.ones((Lq, k.shape[1]), bool))
+        scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), vh)
     return out.reshape(B, Lq, D)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    num_heads: int = 12) -> jax.Array:
-    """Self-attention over packed (B, L, H*Dh) q/k/v, no mask."""
-    return _flash_forward(q, k, v, num_heads)
-
-
-def _fwd(q, k, v, num_heads):
-    return _flash_forward(q, k, v, num_heads), (q, k, v)
-
-
-def _bwd(num_heads, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: _reference_attention(a, b, c, num_heads),
-                     q, k, v)
-    return vjp(g)
-
-
-flash_attention.defvjp(_fwd, _bwd)

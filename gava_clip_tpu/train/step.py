@@ -72,9 +72,12 @@ def compute_losses(outputs: Dict, labels: jax.Array,
 
 def make_train_step(model, loss_cfg: LossConfig, optimizer,
                     batch_split: int = 1, compute_dtype=jnp.float32,
-                    attn_impl: str = "xla", remat: bool = False,
+                    attn_impl: str = "xla", remat="none",
                     donate: bool = True):
     """Build the jitted train step: (state, batch) -> (state, metrics).
+
+    remat: False/"none" | True/"full" | "dots" — vision-tower
+    rematerialization policy (see models/vision.py).
 
     batch = {'video': (B,T,H,W,3), 'labels': (B,), 'nte': (B,70,E)?,
              'memory': (Bm,S,E)?, 'mt_labels': (Bm,)?}

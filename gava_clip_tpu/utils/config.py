@@ -121,6 +121,12 @@ def setup_train_args(parser: argparse.ArgumentParser):
     parser.add_argument('--eval_all_views', action='store_true',
                         help='average logits over all spatial x temporal eval '
                              'views (beyond parity: the reference keeps view 0)')
+    parser.add_argument('--remat_policy', type=str, default='dots',
+                        choices=['none', 'full', 'dots'],
+                        help='vision-tower rematerialization for long clips: '
+                             'full = recompute whole blocks in backward '
+                             '(lowest memory), dots = save GEMM outputs, '
+                             'recompute attention einsums only (faster)')
     # observability (TPU-native addition; reference has print-only timing)
     parser.add_argument('--profile_dir', type=str, default='',
                         help='write a jax.profiler trace of a few train steps here')

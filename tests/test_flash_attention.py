@@ -4,6 +4,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
 
 from gava_clip_tpu.ops.flash_attention import (flash_attention,
                                                _reference_attention)
@@ -39,3 +40,80 @@ def test_flash_gradients_match():
                   argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_streaming_long_sequence():
+    """L=1024 goes through the streaming (KV-blocked) kernel."""
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.randn(2, 1024, 4 * 32).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, 1024, 4 * 32).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, 1024, 4 * 32).astype(np.float32))
+    want = _reference_attention(q, k, v, num_heads=4)
+    got = flash_attention(q, k, v, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_streaming_long_unaligned_with_grads():
+    """Unaligned long L exercises the segment-id padding path + backward."""
+    rs = np.random.RandomState(4)
+    q = jnp.asarray(rs.randn(1, 700, 2 * 32).astype(np.float32))
+    k = jnp.asarray(rs.randn(1, 700, 2 * 32).astype(np.float32))
+    v = jnp.asarray(rs.randn(1, 700, 2 * 32).astype(np.float32))
+    want = _reference_attention(q, k, v, num_heads=2)
+    got = flash_attention(q, k, v, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+    # backward of the stock streaming kernel must trace inside the
+    # interpret context on CPU (on TPU no context is needed)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(lambda a: (flash_attention(a, k, v, 2) ** 2).sum())(q)
+    g2 = jax.grad(lambda a: (_reference_attention(a, k, v, 2) ** 2).sum())(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-3)
+
+
+def test_causal_text_shape():
+    """Causal at the text-tower shape (L=77, padded to 128 in-kernel)."""
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(3, 77, 4 * 16).astype(np.float32))
+    want = _reference_attention(x, x, x, num_heads=4, causal=True)
+    got = flash_attention(x, x, x, 4, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_causal_gradients():
+    rs = np.random.RandomState(6)
+    q = jnp.asarray(rs.randn(2, 77, 2 * 32).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, 77, 2 * 32).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, 77, 2 * 32).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(lambda a, b, c: (flash_attention(a, b, c, 2,
+                                                       causal=True)
+                                       ** 2).sum(),
+                      argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda a, b, c: (_reference_attention(a, b, c, 2,
+                                                        causal=True)
+                                   ** 2).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_packed_backward_cross_attention_shape():
+    """Backward at the vision shape: Lq=197 queries vs Lk=283 keys
+    (prompts-as-keys restructure), bf16 inputs."""
+    rs = np.random.RandomState(7)
+    q = jnp.asarray(rs.randn(4, 197, 6 * 32).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(4, 283, 6 * 32).astype(np.float32), jnp.bfloat16)
+    v = jnp.asarray(rs.randn(4, 283, 6 * 32).astype(np.float32), jnp.bfloat16)
+    got = flash_attention(q, k, v, 6)
+    want = _reference_attention(q, k, v, 6)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=3e-2)
+    g1 = jax.grad(lambda a, b, c: (flash_attention(a, b, c, 6)
+                                   .astype(jnp.float32) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda a, b, c: (_reference_attention(a, b, c, 6)
+                                   .astype(jnp.float32) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=0.5,
+                                   rtol=0.05)
