@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import layer_norm, multi_head_attention, mlp, quick_gelu
-from ..ops.linear import linear
+from ..ops.linear import linear, mlp_block
 from .common import (init_attention, init_layer_norm, init_linear,
                      prompt_init_limit)
 
@@ -109,7 +109,7 @@ def patch_embed(params, x: jax.Array, cfg: VisionConfig) -> jax.Array:
     x = x.reshape(BT, H // ph, ph, W // pw, pw, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)                   # (BT, h, w, ph, pw, C)
     x = x.reshape(BT, (H // ph) * (W // pw), ph * pw * C)
-    return x @ params["kernel"].astype(x.dtype) + params["bias"].astype(x.dtype)
+    return linear(params, x)
 
 
 def resize_time_embed(time_embed: jax.Array, T: int) -> jax.Array:
@@ -170,11 +170,40 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str):
                       .reshape(BT, Tb, D))
 
     kv = jnp.concatenate([x] + extras, axis=1) if extras else x
-    kv_n = layer_norm(kv, p["norm1"]["scale"], p["norm1"]["bias"])
-    x = x + multi_head_attention(p["attn"], kv_n[:, :Lx], kv_n, kv_n,
-                                 cfg.heads, impl=attn_impl)
-    x = x + mlp(p["mlp"], layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"]),
-                quick_gelu)
+    k_q = p["attn"]["q"]["kernel"]
+    if isinstance(k_q, dict) and "qa" in k_q and \
+            jax.default_backend() == "tpu":
+        # w8a8 inference path: LayerNorm + shared quant + all three int8
+        # projections in ONE fused kernel (q is a row-slice of the kv
+        # output, so the generic shared-input dispatch in
+        # multi_head_attention cannot trigger here)
+        from ..ops.int8_matmul import w8a8_matmul3
+        kv2 = kv.reshape(-1, D)
+        outs = w8a8_matmul3(
+            kv2,
+            tuple(p["attn"][n]["kernel"]["qa"] for n in ("q", "k", "v")),
+            tuple(p["attn"][n]["kernel"]["scale"] for n in ("q", "k", "v")),
+            bias3=tuple(p["attn"][n]["bias"] for n in ("q", "k", "v")),
+            ln=(p["norm1"]["scale"], p["norm1"]["bias"]))
+        qp, kp, vp = (o.reshape(kv.shape) for o in outs)
+        k_out = p["attn"]["out"]["kernel"]
+        if attn_impl == "flash" and isinstance(k_out, dict) and \
+                "qa" in k_out:
+            # attention + int8 out-projection + residual in one kernel:
+            # the attention output never leaves VMEM
+            from ..ops.flash_attention import flash_attention_out_int8
+            x = flash_attention_out_int8(qp[:, :Lx], kp, vp, cfg.heads,
+                                         p["attn"]["out"], x)
+        else:
+            from ..ops.attention import attention_core
+            attn = attention_core(qp[:, :Lx], kp, vp, cfg.heads,
+                                  impl=attn_impl)
+            x = x + linear(p["attn"]["out"], attn)
+    else:
+        kv_n = layer_norm(kv, p["norm1"]["scale"], p["norm1"]["bias"])
+        x = x + multi_head_attention(p["attn"], kv_n[:, :Lx], kv_n, kv_n,
+                                     cfg.heads, impl=attn_impl)
+    x = mlp_block(p["mlp"], p["norm2"], x, quick_gelu, residual=x)
     return x, summary
 
 

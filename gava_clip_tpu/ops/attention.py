@@ -69,9 +69,25 @@ def multi_head_attention(params: Dict, q: jax.Array, k: jax.Array,
                          impl: str = "xla",
                          causal: bool = False) -> jax.Array:
     """Full attention module: project q/k/v, attend, project out."""
-    qp = linear(params["q"], q)
-    kp = linear(params["k"], k)
-    vp = linear(params["v"], v)
+    if (q is k and k is v and isinstance(params["q"]["kernel"], dict)
+            and "qa" in params["q"]["kernel"]
+            and jax.default_backend() == "tpu"):
+        # w8a8 self-attention: one fused kernel reads + quantizes the shared
+        # input tile once and runs all three int8 projections against it
+        # (saves 2/3 of the activation HBM reads and quant work)
+        from .int8_matmul import w8a8_matmul3
+        x2 = q.reshape(-1, q.shape[-1])
+        outs = w8a8_matmul3(
+            x2,
+            tuple(params[n]["kernel"]["qa"] for n in ("q", "k", "v")),
+            tuple(params[n]["kernel"]["scale"] for n in ("q", "k", "v")),
+            bias3=tuple(params[n]["bias"] for n in ("q", "k", "v")))
+        qp, kp, vp = (o.reshape(q.shape[:-1] + (o.shape[-1],))
+                      for o in outs)
+    else:
+        qp = linear(params["q"], q)
+        kp = linear(params["k"], k)
+        vp = linear(params["v"], v)
     out = attention_core(qp, kp, vp, num_heads, mask=mask, impl=impl,
                          causal=causal)
     return linear(params["out"], out)

@@ -32,6 +32,11 @@ import jax
 import jax.numpy as jnp
 
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# one grid cell per batch row is independent work: let Mosaic split the grid
+# across the two v5e megacores
+_PARALLEL_1D = pltpu.CompilerParams(dimension_semantics=("parallel",))
 
 # above this key length the whole-row VMEM layout stops being the right
 # trade (score tile is Lq x Lk fp32 per head) and the streaming kernel wins
@@ -46,11 +51,23 @@ def _ceil_to(x: int, m: int) -> int:
 # packed whole-row kernels (short L, no mask)
 # ---------------------------------------------------------------------------
 
+
+
+def _zero_tail_rows(x, valid: int):
+    """Zero rows >= valid of a (L, D) VMEM tile. Partial-tile loads fill the
+    ragged tail with arbitrary adjacent bits which can decode as inf/NaN in
+    bf16; 0 * NaN = NaN would contaminate every valid row through the
+    contraction dots, so garbage rows must be zeroed, not just masked."""
+    if valid >= x.shape[0]:
+        return x
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(rows < valid, x, jnp.zeros_like(x))
+
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                       lk_valid: int, num_heads: int, head_dim: int):
     q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+    k = _zero_tail_rows(k_ref[0], lk_valid)
+    v = _zero_tail_rows(v_ref[0], lk_valid)
     Lq, Lk = q.shape[0], k.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
     for h in range(num_heads):
@@ -68,16 +85,24 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
                           dq_ref, dk_ref, dv_ref, *, scale: float,
-                          lk_valid: int, num_heads: int, head_dim: int):
+                          lq_valid: int, lk_valid: int, num_heads: int,
+                          head_dim: int):
     """Whole-row flash backward: recompute scores/softmax per head in VMEM,
     then dp = do@v^T, ds = p*(dp - rowsum(p*dp)), dq = ds@k, dk = ds^T@q,
-    dv = p^T@do. No residuals are read from HBM."""
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
+    dv = p^T@do. No residuals are read from HBM.
+
+    The kernel runs on PARTIAL tiles (no explicit HBM padding): key columns
+    >= lk_valid are masked to -inf before softmax; query rows >= lq_valid
+    carry garbage from the partial tile and are zeroed out of p/ds so they
+    cannot contaminate the dk/dv contractions (their dq rows are never
+    stored)."""
+    q = _zero_tail_rows(q_ref[0], lq_valid)
+    k = _zero_tail_rows(k_ref[0], lk_valid)
+    v = _zero_tail_rows(v_ref[0], lk_valid)
+    do = _zero_tail_rows(do_ref[0], lq_valid)
     Lq, Lk = q.shape[0], k.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 0)
     contract_q = (((0,), (0,)), ((), ()))     # (Lq,Lk) x (Lq,Dh) -> (Lk,Dh)
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -88,6 +113,8 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
         if lk_valid < Lk:
             scores = jnp.where(col < lk_valid, scores, -jnp.inf)
         p = jax.nn.softmax(scores, axis=-1)                      # fp32
+        if lq_valid < Lq:
+            p = jnp.where(row < lq_valid, p, 0.0)
         dp = jax.lax.dot_general(
             doh, vh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                  # (Lq, Lk)
@@ -116,7 +143,16 @@ def _packed_forward(q: jax.Array, k: jax.Array, v: jax.Array,
     B, Lq, D = q.shape
     Lk = k.shape[1]
     head_dim = D // num_heads
+    # On TPU the kernel runs on PARTIAL tiles: Mosaic masks the ragged-tail
+    # stores and fills out-of-bounds loads with finite values (zeros/repeats,
+    # never NaN), so no explicit HBM pad/slice copies are needed — padded key
+    # columns are masked in-kernel (lk_valid), padded query rows produce
+    # garbage that is never stored. The CPU interpreter pads blocks with
+    # garbage that can be NaN, so tests pad explicitly.
     Lqp, Lkp = _ceil_to(Lq, 128), _ceil_to(Lk, 128)
+    interp = jax.default_backend() != "tpu"
+    if interp:
+        q, k, v = _pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp)
 
     blk_q = pl.BlockSpec((1, Lqp, D), lambda b: (b, 0, 0))
     blk_kv = pl.BlockSpec((1, Lkp, D), lambda b: (b, 0, 0))
@@ -126,10 +162,11 @@ def _packed_forward(q: jax.Array, k: jax.Array, v: jax.Array,
         grid=(B,),
         in_specs=[blk_q, blk_kv, blk_kv],
         out_specs=blk_q,
-        out_shape=jax.ShapeDtypeStruct((B, Lqp, D), q.dtype),
-        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
-    )(_pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp))
-    return out[:, :Lq]
+        out_shape=jax.ShapeDtypeStruct((B, Lqp if interp else Lq, D), q.dtype),
+        compiler_params=_PARALLEL_1D,
+        interpret=interp,  # CPU tests run interpreted
+    )(q, k, v)
+    return out[:, :Lq] if interp else out
 
 
 def _packed_backward(q, k, v, do, num_heads: int):
@@ -137,20 +174,27 @@ def _packed_backward(q, k, v, do, num_heads: int):
     Lk = k.shape[1]
     head_dim = D // num_heads
     Lqp, Lkp = _ceil_to(Lq, 128), _ceil_to(Lk, 128)
+    interp = jax.default_backend() != "tpu"
+    if interp:
+        q, k, v = _pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp)
+        do = _pad_seq(do, Lqp)
+    Lqo, Lko = (Lqp, Lkp) if interp else (Lq, Lk)
 
     blk_q = pl.BlockSpec((1, Lqp, D), lambda b: (b, 0, 0))
     blk_kv = pl.BlockSpec((1, Lkp, D), lambda b: (b, 0, 0))
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attention_bwd_kernel, scale=head_dim ** -0.5,
-                          lk_valid=Lk, num_heads=num_heads, head_dim=head_dim),
+                          lq_valid=Lq, lk_valid=Lk, num_heads=num_heads,
+                          head_dim=head_dim),
         grid=(B,),
         in_specs=[blk_q, blk_kv, blk_kv, blk_q],
         out_specs=[blk_q, blk_kv, blk_kv],
-        out_shape=[jax.ShapeDtypeStruct((B, Lqp, D), q.dtype),
-                   jax.ShapeDtypeStruct((B, Lkp, D), k.dtype),
-                   jax.ShapeDtypeStruct((B, Lkp, D), v.dtype)],
-        interpret=jax.default_backend() != "tpu",
-    )(_pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp), _pad_seq(do, Lqp))
+        out_shape=[jax.ShapeDtypeStruct((B, Lqo, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, Lko, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, Lko, D), v.dtype)],
+        compiler_params=_PARALLEL_1D,
+        interpret=interp,
+    )(q, k, v, do)
     return dq[:, :Lq], dk[:, :Lk], dv[:, :Lk]
 
 
@@ -237,3 +281,79 @@ def _reference_attention(q, k, v, num_heads, causal: bool = False):
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), vh)
     return out.reshape(B, Lq, D)
+
+
+def _attention_out_kernel(q_ref, k_ref, v_ref, w_ref, s_ref, b_ref, r_ref,
+                          o_ref, attn_ref, *, scale: float, lk_valid: int,
+                          num_heads: int, head_dim: int):
+    """Inference fusion: whole-row attention, then the int8 out-projection,
+    bias, and residual add — the attention output never leaves VMEM."""
+    # q garbage rows stay row-local (their outputs are never stored);
+    # k/v garbage rows MUST be zeroed (see _zero_tail_rows)
+    q = q_ref[0]
+    k = _zero_tail_rows(k_ref[0], lk_valid)
+    v = _zero_tail_rows(v_ref[0], lk_valid)
+    Lq, Lk = q.shape[0], k.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        scores = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if lk_valid < Lk:
+            scores = jnp.where(col < lk_valid, scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn_ref[:, sl] = jnp.dot(probs.astype(v.dtype), v[:, sl],
+                                  preferred_element_type=jnp.float32)
+    a = attn_ref[...]
+    xs = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-6) \
+        * (1.0 / 127.0)
+    aq = jnp.round(a * (1.0 / xs)).astype(jnp.int8)
+    acc = jnp.dot(aq, w_ref[...], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * xs * s_ref[...].astype(jnp.float32) \
+        + b_ref[...].astype(jnp.float32) + r_ref[0].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def flash_attention_out_int8(q, k, v, num_heads, out_params, residual):
+    """Fused attention + w8a8 out-projection + residual for the inference
+    path: returns residual + Linear_int8(attention(q, k, v)).
+
+    out_params: {'kernel': {'qa' (D, D) int8, 'scale' (1, D)}, 'bias' (D,)}.
+    Not differentiable (inference only — the train path composes
+    flash_attention with the w8a8-free linear instead)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    head_dim = D // num_heads
+    Lqp, Lkp = _ceil_to(Lq, 128), _ceil_to(Lk, 128)
+    interp = jax.default_backend() != "tpu"
+    if interp:
+        q, k, v = _pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp)
+        residual = _pad_seq(residual, Lqp)
+
+    wq = out_params["kernel"]["qa"]
+    ws = out_params["kernel"]["scale"]
+    bias = out_params["bias"].reshape(1, D)
+
+    blk_q = pl.BlockSpec((1, Lqp, D), lambda b: (b, 0, 0))
+    blk_kv = pl.BlockSpec((1, Lkp, D), lambda b: (b, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_attention_out_kernel, scale=head_dim ** -0.5,
+                          lk_valid=Lk, num_heads=num_heads,
+                          head_dim=head_dim),
+        grid=(B,),
+        in_specs=[blk_q, blk_kv, blk_kv,
+                  pl.BlockSpec((D, D), lambda b: (0, 0)),
+                  pl.BlockSpec((1, D), lambda b: (0, 0)),
+                  pl.BlockSpec((1, D), lambda b: (0, 0)),
+                  blk_q],
+        out_specs=blk_q,
+        out_shape=jax.ShapeDtypeStruct((B, Lqp if interp else Lq, D),
+                                       q.dtype),
+        scratch_shapes=[pltpu.VMEM((Lqp, D), jnp.float32)],
+        compiler_params=_PARALLEL_1D,
+        interpret=interp,
+    )(q, k, v, wq, ws, bias, residual)
+    return out[:, :Lq] if interp else out

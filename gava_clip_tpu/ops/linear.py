@@ -12,6 +12,11 @@ import jax.numpy as jnp
 
 def linear(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     kernel = params["kernel"]
+    if isinstance(kernel, dict) and "qa" in kernel:
+        # w8a8 leaf ({'qa','scale'}): dynamic per-token activation quant +
+        # int8 MXU GEMM (throughput serving mode)
+        from .int8_matmul import int8_dynamic_linear
+        return int8_dynamic_linear(params, x)
     if isinstance(kernel, dict) and "q" in kernel:
         # weight-only int8 leaf ({'q','scale'} from ops.quant): use the
         # Pallas dequant-GEMM so the bf16 weights never materialize in HBM
@@ -27,3 +32,31 @@ def mlp(params: Dict[str, Dict[str, jax.Array]], x: jax.Array,
         act: Callable[[jax.Array], jax.Array]) -> jax.Array:
     """Two-layer MLP: fc1 -> act -> fc2 (dropout in the reference is 0.0)."""
     return linear(params["fc2"], act(linear(params["fc1"], x)))
+
+
+def mlp_block(params: Dict, norm_params: Dict, x: jax.Array,
+              act: Callable[[jax.Array], jax.Array],
+              residual: Optional[jax.Array] = None) -> jax.Array:
+    """Pre-norm MLP: [residual +] fc2(act(fc1(LayerNorm(x)))).
+
+    When the kernels are w8a8-quantized (and on TPU), the whole block runs
+    as ONE fused Pallas kernel (ops/int8_matmul.w8a8_mlp[_res]) — LN, both
+    int8 GEMMs, QuickGELU, and the residual add in VMEM, no (M, 4K)
+    intermediate in HBM. The fused path assumes `act` is QuickGELU (the
+    only activation in this model)."""
+    k1 = params["fc1"]["kernel"]
+    if isinstance(k1, dict) and "qa" in k1 and \
+            jax.default_backend() == "tpu":
+        from .int8_matmul import w8a8_mlp, w8a8_mlp_res
+        x2 = x.reshape(-1, x.shape[-1])
+        ln = (norm_params["scale"], norm_params["bias"])
+        if residual is not None:
+            y = w8a8_mlp_res(x2, params["fc1"], params["fc2"], ln,
+                             residual.reshape(-1, residual.shape[-1]))
+        else:
+            y = w8a8_mlp(x2, params["fc1"], params["fc2"], ln=ln)
+        return y.reshape(x.shape[:-1] + (y.shape[-1],))
+    from .norm import layer_norm
+    out = mlp(params, layer_norm(x, norm_params["scale"],
+                                  norm_params["bias"]), act)
+    return out if residual is None else residual + out

@@ -25,7 +25,7 @@ class VideoClassifier:
     def __init__(self, model, params: Dict, classnames: Sequence[str],
                  batch_size: int = 16, mean=CLIP_MEAN, std=CLIP_STD,
                  compute_dtype=None, attn_impl: Optional[str] = None,
-                 quantize: bool = False):
+                 quantize=False):
         import jax
         import jax.numpy as jnp
         self.model = model
@@ -38,12 +38,15 @@ class VideoClassifier:
             "flash" if jax.default_backend() == "tpu" else "xla")
 
         if quantize:
-            # weight-only int8 projections via the Pallas dequant-GEMM
-            # (ops/int8_matmul.py; wired through ops.linear). Measured on
-            # v5e: 5% faster at B=1 (weight-bandwidth bound), slower at
-            # B>=16 (compute bound) — use for latency-sensitive serving.
+            # quantize=True or "w8": weight-only int8 projections via the
+            # Pallas dequant-GEMM (ops/int8_matmul.py; wired through
+            # ops.linear). Measured on v5e: 5% faster at B=1 (weight-
+            # bandwidth bound) — the latency-serving mode.
+            # quantize="w8a8": dynamic per-token activation quant + int8
+            # MXU GEMMs — the throughput-serving mode (~2x bf16 MXU peak).
             from .ops.quant import quantize_tower_params
-            self.params = quantize_tower_params(params)
+            self.params = quantize_tower_params(
+                params, act_quant=(quantize == "w8a8"))
         else:
             # bf16 weights: halves HBM traffic and host->device bytes
             self.params = jax.tree_util.tree_map(

@@ -72,3 +72,48 @@ def test_quantized_serving_close_to_fp(tmp_path):
     p_fp = clf_fp.classify_clips(clips)
     p_q = clf_q.classify_clips(clips)
     np.testing.assert_allclose(p_q, p_fp, atol=0.05)
+
+
+def test_w8a8_serving_close_to_fp():
+    """Dynamic activation quant + int8 GEMM path: probs within 0.05 of fp."""
+    from gava_clip_tpu.serve import VideoClassifier
+    from gava_clip_tpu.models.vision import VisionConfig
+    from gava_clip_tpu.models.vita_clip import VitaClip, VitaClipConfig
+    tf = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    cfg = VitaClipConfig(
+        vision=VisionConfig(input_size=(32, 32), num_frames=2, feature_dim=32,
+                            patch_size=(16, 16), heads=2, layers=2,
+                            mlp_factor=2.0, embed_dim=16,
+                            use_summary_token=True, use_local_prompts=True,
+                            use_global_prompts=True, num_global_prompts=2),
+        num_classes=3, zeroshot_evaluation=True)
+    model = VitaClip(cfg, zeroshot_text_features=tf)
+    names = ["a", "b", "c"]
+    clf_fp = VideoClassifier.from_model(model, names, batch_size=2,
+                                        compute_dtype=jnp.float32)
+    clf_q = VideoClassifier(model, model.params, names, batch_size=2,
+                            compute_dtype=jnp.float32, quantize="w8a8")
+    # patch_embed must be act-quantized in w8a8 mode
+    assert set(clf_q.params["visual"]["patch_embed"]["kernel"].keys()) == \
+        {"qa", "scale"}
+    clips = np.random.RandomState(1).randint(0, 255, (2, 2, 32, 32, 3),
+                                             np.uint8)
+    p_fp = clf_fp.classify_clips(clips)
+    p_q = clf_q.classify_clips(clips)
+    np.testing.assert_allclose(p_q, p_fp, atol=0.05)
+
+
+def test_int8_dynamic_linear_matches_fp():
+    from gava_clip_tpu.ops.int8_matmul import int8_dynamic_linear
+    from gava_clip_tpu.ops.quant import quantize_weight
+    rs = np.random.RandomState(2)
+    w = rs.randn(64, 48).astype(np.float32) * 0.05
+    b = rs.randn(48).astype(np.float32) * 0.01
+    x = rs.randn(3, 10, 64).astype(np.float32)
+    q, scale = quantize_weight(w)
+    params = {"kernel": {"qa": jnp.asarray(q), "scale": jnp.asarray(scale)},
+              "bias": jnp.asarray(b)}
+    got = np.asarray(int8_dynamic_linear(params, jnp.asarray(x)))
+    want = x @ w + b
+    # int8 x int8 with per-token/per-channel scales: ~1% relative error
+    assert np.abs(got - want).max() / np.abs(want).max() < 0.02
