@@ -81,7 +81,8 @@ def main(argv=None):
     import jax.numpy as jnp
     from ..models.factory import build_model_from_args
     from ..train.checkpoint import load_checkpoint
-    from ..utils.torch_convert import convert_vita_clip, merge_pytrees
+    from ..utils.torch_convert import (adapt_frame_params, convert_vita_clip,
+                                       merge_pytrees)
 
     args_zs = argparse.Namespace(**vars(args))
     args_zs.use_summary_token = True
@@ -108,6 +109,7 @@ def main(argv=None):
         else:
             loaded = {k: v for k, v in ckpt["params"].items()
                       if k not in ("textual", "prompt")}
+        loaded = adapt_frame_params(loaded, args.num_frames)
         params = jax.tree_util.tree_map(
             jnp.asarray, merge_pytrees(params, loaded))
 

@@ -189,6 +189,35 @@ def convert_vita_clip(sd: Dict[str, np.ndarray], *, vision_layers: int,
     return params
 
 
+def adapt_frame_params(tree: Dict, num_frames: int) -> Dict:
+    """Adapt frame-indexed params loaded from a checkpoint trained at a
+    different num_frames to an eval model built at `num_frames`.
+
+    Only `local_prompts` needs this: its frame axis is baked into the param
+    shape (reference VitaCLIP_vision_encoder_utils.py:138). When divisible,
+    tile by T // T_train — the reference's token_multiplier semantics
+    (utils:179-181, dead code there since T is always self.num_frames, but
+    it documents the intent); otherwise nearest-resize like time_embed.
+    time_embed itself needs NO adaptation: resize_time_embed reads the param
+    shape at runtime (models/vision.py:115-123)."""
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out[k] = adapt_frame_params(v, num_frames)
+        elif k == "local_prompts" and v.shape[-2] != num_frames:
+            t_train = v.shape[-2]
+            if num_frames % t_train == 0:
+                reps = [1] * v.ndim
+                reps[-2] = num_frames // t_train
+                out[k] = np.tile(np.asarray(v), reps)
+            else:
+                idx = (np.arange(num_frames) * t_train) // num_frames
+                out[k] = np.asarray(v)[..., idx, :]
+        else:
+            out[k] = v
+    return out
+
+
 def merge_pytrees(base: Dict, overlay: Dict) -> Dict:
     """Non-strict overlay (reference load_state_dict(strict=False) analogue):
     leaves present in `overlay` replace those in `base`, recursively."""

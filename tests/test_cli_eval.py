@@ -152,6 +152,43 @@ def _save_torch_backbone(tmp, reference_modules):
     return str(backbone), str(vlm_path)
 
 
+def test_zero_shot_k400_shape(tmp_path, monkeypatch, reference_modules):
+    """Zero-shot at the K400 eval shape (reference eval_scripts/k400_eval.sh):
+    the SHIPPED classes/k400_classes.txt (no '*' lines -> CLS_NUM=0 quirk
+    path, SURVEY.md §2.8-3), T=8 frames with time-embed interpolation from a
+    T=2-trained backbone, TSN eval sampling."""
+    import gava_clip_tpu
+    from gava_clip_tpu.cli.zero_shot import main as zs_main
+    from gava_clip_tpu.data.video import parse_classes_file
+
+    repo_root = osp.dirname(osp.dirname(gava_clip_tpu.__file__))
+    k400_classes = osp.join(repo_root, "classes", "k400_classes.txt")
+    names, labels = parse_classes_file(k400_classes)
+    assert len(labels) == 400 and labels == names  # CLS_NUM=0 fallback
+
+    _make_dataset(tmp_path)
+    backbone, vlm = _save_torch_backbone(tmp_path, reference_modules)
+    monkeypatch.chdir(tmp_path)
+    perf, conf = zs_main([
+        "--type", "updrs",
+        "--eval_data_root", str(tmp_path),
+        "--eval_list_path", str(tmp_path / "val_updrs.csv"),
+        "--text_prompt_classes_path", k400_classes,
+        "--backbone_path", backbone,
+        "--pretrained_vlm", vlm,
+        "--batch_size", "2", "--num_frames", "8", "--spatial_size", "32",
+        "--num_layers", "2", "--num_heads", "2", "--feature_dim", "32",
+        "--embed_dim", "32", "--mlp_factor", "2.0",
+        "--text_transformer_width", "32", "--text_transformer_heads", "2",
+        "--text_transformer_layers", "2",
+        "--num_temporal_views", "1", "--num_workers", "2",
+        "--sampling_rate", "-1",  # TSN sampling, k400 eval convention
+    ])
+    assert 0.0 <= perf <= 1.0
+    assert conf.shape == (400, 400) and conf.sum() == 4
+    assert osp.isfile("./eval_output/class_name.txt")
+
+
 def test_zero_shot_driver(tmp_path, monkeypatch, reference_modules):
     from gava_clip_tpu.cli.zero_shot import main as zs_main
     _make_dataset(tmp_path)
