@@ -88,7 +88,7 @@ def _build_models(ref_env, *, support_memory=True, add_nte=True):
             torch.nn.init.normal_(proj[2].weight, std=0.05)
     ref.eval()
 
-    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
 
     cfg = VitaClipConfig(
         vision=VisionConfig(input_size=(32, 32), num_frames=4, feature_dim=48,
@@ -212,7 +212,7 @@ def test_zero_shot_forward_parity(ref_env, tmp_path):
         num_global_prompts=3, use_text_prompt_learning=False,
         zeroshot_evaluation=True, zeroshot_text_features_path=str(tf_path))
     ref.eval()
-    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
 
     cfg = VitaClipConfig(
         vision=VisionConfig(input_size=(32, 32), num_frames=4, feature_dim=48,
