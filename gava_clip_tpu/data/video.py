@@ -50,9 +50,26 @@ def parse_classes_file(path: str) -> Tuple[List[str], List[str]]:
     return classnames, labels
 
 
-def decode_frames(path: str, indices: Optional[Sequence[int]] = None) -> np.ndarray:
+# seek only pays when skipping more than roughly one GOP: an ffmpeg
+# POS_FRAMES seek lands on the keyframe before the target and decodes
+# forward internally, so short gaps are cheaper to read through.
+SEEK_MIN_GAP = 32
+
+
+def decode_frames(path: str, indices: Optional[Sequence[int]] = None,
+                  allow_seek: bool = True) -> np.ndarray:
     """Decode a video to RGB uint8 frames (T, H, W, 3). If `indices` is given,
-    only those (sorted, possibly repeated) frames are returned."""
+    only those (sorted, possibly repeated) frames are returned.
+
+    Unlike the reference's decode-everything-then-sample
+    (video_dataset/dataset.py:85-95), sparse index sets use real
+    CAP_PROP_POS_FRAMES seeking when a gap exceeds SEEK_MIN_GAP. Every seek
+    is validated by reading back the landing position: undershoot just
+    reads forward (still exact), overshoot/bogus disables seeking and
+    falls back to one sequential pass — content is identical to a full
+    sequential decode either way (ffmpeg seeks land on a keyframe and
+    decode forward to the target). Measured numbers: tools/
+    bench_host_pipeline.py, "8 TSN frames from a 300-frame clip"."""
     assert cv2 is not None, "OpenCV is required for video decode"
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
@@ -67,17 +84,30 @@ def decode_frames(path: str, indices: Optional[Sequence[int]] = None) -> np.ndar
     else:
         want = list(indices)
         decoded = {}
-        need = sorted(set(want))
-        pos = 0
-        idx = 0
-        while need and pos <= need[-1]:
-            ok, frame = cap.read()
+        pos = 0                       # index of the next frame cap will return
+        seek_ok = allow_seek
+        for i in sorted(set(want)):
+            if i < pos:               # already passed (only after a re-open)
+                continue
+            if seek_ok and i - pos > SEEK_MIN_GAP:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, i)
+                landed = int(cap.get(cv2.CAP_PROP_POS_FRAMES))
+                if 0 <= landed <= i:
+                    pos = landed
+                else:                 # unreliable seek: restart sequentially
+                    seek_ok = False
+                    cap.release()
+                    cap = cv2.VideoCapture(path)
+                    pos = 0
+            ok = True
+            while ok and pos <= i:
+                ok, frame = cap.read()
+                if ok:
+                    if pos == i:
+                        decoded[i] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    pos += 1
             if not ok:
-                break
-            if need and pos == need[0]:
-                decoded[pos] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                need.pop(0)
-            pos += 1
+                break                 # ran off the end; clamp below
         if not decoded:
             raise IOError(f"no frames decoded: {path}")
         last = max(decoded)

@@ -115,6 +115,27 @@ def test_decode_selected_frames(tmp_path):
     np.testing.assert_array_equal(sel[3], full[19])
 
 
+def test_decode_seek_matches_sequential(tmp_path):
+    """Seek-based sparse decode (gaps > SEEK_MIN_GAP trigger
+    CAP_PROP_POS_FRAMES) returns bitwise the same frames as a full
+    sequential decode — the correctness contract of the fast path."""
+    p = tmp_path / "long.mp4"
+    _write_video(p, n=300)
+    full = V.decode_frames(str(p), allow_seek=False)
+    assert full.shape[0] == 300
+    # TSN-style 8 segments over 300 frames: every gap is ~37 > SEEK_MIN_GAP
+    idx = [18, 56, 93, 131, 168, 206, 243, 281]
+    assert all(b - a > V.SEEK_MIN_GAP for a, b in zip(idx, idx[1:]))
+    sel = V.decode_frames(str(p), indices=idx)
+    np.testing.assert_array_equal(sel, full[idx])
+    # repeated + clamped indices through the seek path
+    sel2 = V.decode_frames(str(p), indices=[5, 5, 150, 299, 400])
+    np.testing.assert_array_equal(sel2[0], full[5])
+    np.testing.assert_array_equal(sel2[2], full[150])
+    np.testing.assert_array_equal(sel2[3], full[299])
+    np.testing.assert_array_equal(sel2[4], full[299])  # clamped past end
+
+
 def test_video_dataset_end_to_end(tmp_path):
     root = tmp_path
     _write_video(root / "a.mp4")

@@ -60,6 +60,26 @@ def main():
         print(f"{k}: {v:.2f}")
     print(f"(x num_workers threads; cv2+native release the GIL)")
 
+    # TSN eval access pattern (VERDICT r1 #7): 8 TSN frames from a
+    # 300-frame clip — decode-all (reference semantics) vs sequential
+    # read-to-last vs seek-based sparse decode.
+    long_path = os.path.join(tmp, "long.mp4")
+    make_video(long_path, n=300)
+    tsn_idx = [int((i + 0.5) * 300 / T) for i in range(T)]
+    n_iter = 10
+    variants = {
+        "tsn300_decode_all_ms": lambda: V.decode_frames(long_path),
+        "tsn300_sequential_ms": lambda: V.decode_frames(
+            long_path, indices=tsn_idx, allow_seek=False),
+        "tsn300_seek_ms": lambda: V.decode_frames(long_path, indices=tsn_idx),
+    }
+    for name, fn in variants.items():
+        fn()  # warm the page cache
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            fn()
+        print(f"{name}: {(time.perf_counter() - t0) / n_iter * 1e3:.2f}")
+
 
 if __name__ == "__main__":
     main()
