@@ -56,6 +56,99 @@ def encode_text_file(path: str, text_params: Dict, text_cfg=None,
     return out_path
 
 
+_DIGITS = ["one", "two", "three", "four", "five", "six", "seven", "eight",
+           "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+           "fifteen", "sixteen", "seventeen", "eighteen", "nineteen",
+           "twenty"]
+_TENS = ["twenty", "thirty", "forty", "fifty", "sixty", "seventy", "eighty",
+         "ninety"]
+
+# graduated-adjective probe templates (reference prepare_embedding.py:57-72)
+LEVEL_TEMPLATES = {
+    "distance": ["the difference in distance covered between a left step and "
+                 "a right step is {:s}",
+                 "the distance covered from the first contact of right foot "
+                 "to the first contact of the left foot is {:s}"],
+    "percentage": ["the percentage of the duration when only the left foot "
+                   "contacts the ground within one gait cycle is {:s}",
+                   "the percentage of the duration when the left foot is off "
+                   "the ground within the left walk cycle is {:s}"],
+}
+LEVEL_WORDS = {
+    "speed": ["very slow", "slow", "quick", "fast"],
+    "cadence": ["few", "limited", "minimal", "numerous", "maximal",
+                "frequent"],
+    "distance": ["close", "short", "small", "large", "long", "far"],
+    "percentage": ["low", "small", "minor", "large", "high", "major"],
+}
+
+
+def number_words(n: int) -> Sequence[str]:
+    """English words for 1..n-1 (reference prepare_embedding.py:41-57 —
+    with its multiples-of-ten bug fixed: the reference renders 30 as
+    'thirty-twenty' because i%10-1 wraps to digits[-1])."""
+    assert 0 < n < 1000
+    out = []
+    for i in range(1, n):
+        if i < 21:
+            out.append(_DIGITS[i - 1])
+        elif i < 100:
+            tens = _TENS[i // 10 - 2]
+            out.append(tens if i % 10 == 0 else
+                       f"{tens}-{_DIGITS[i % 10 - 1]}")
+        else:
+            rem = i % 100
+            word = f"{_DIGITS[i // 100 - 1]} hundred"
+            if rem:
+                word += " " + number_words(rem + 1)[-1]
+            out.append(word)
+    return out
+
+
+def _sim_and_dist(embeds: np.ndarray):
+    normed = embeds / np.linalg.norm(embeds, axis=-1, keepdims=True)
+    sim = normed @ normed.T
+    sq = (normed ** 2).sum(-1)
+    dist = np.sqrt(np.maximum(sq[:, None] + sq[None] - 2 * (normed @ normed.T),
+                              0.0))
+    return sim, dist
+
+
+def number_distance_study(text_params, text_cfg=None, n: int = 100) -> Dict:
+    """How does the frozen CLIP text tower space out numeric words?
+    (reference prepare_embedding.py:35-160). Returns cosine-similarity and
+    euclidean-distance matrices for 'This image has <k> dogs' (k=1..n-1)
+    plus per-template matrices for the graduated level words. Sentences are
+    encoded in ONE batched text-tower call, not the reference's per-sentence
+    loop."""
+    texts = [f"This image has {t} dogs" for t in number_words(n)]
+    sim, dist = _sim_and_dist(encode_texts(texts, text_params, text_cfg))
+    out = {"numbers": {"similarity": sim, "distance": dist, "texts": texts}}
+    for kind, templates in LEVEL_TEMPLATES.items():
+        for ti, tf in enumerate(templates):
+            level_texts = [tf.format(w) for w in LEVEL_WORDS[kind]]
+            s, d = _sim_and_dist(encode_texts(level_texts, text_params,
+                                              text_cfg))
+            out[f"{kind}_{ti}"] = {"similarity": s, "distance": d,
+                                   "texts": level_texts}
+    return out
+
+
+def pe_distance_study(text_params, text_cfg=None, n: int = 150,
+                      l2_norm: float = 0.5) -> Dict:
+    """Sinusoidal-PE numeric encoding geometry (reference
+    prepare_embedding.py:162-238): one frozen sentence embedding
+    ('the walking speed is X') is added to every row-normalized PE row;
+    returns the cosine/euclidean matrices over the n shifted rows."""
+    from .metadata import make_pe
+    d_model = (text_cfg.embed_dim if text_cfg is not None else 512)
+    pe = make_pe(n, d_model, l2_norm=l2_norm)
+    base = encode_texts(["the walking speed is X"], text_params, text_cfg)[0]
+    shifted = pe + base[None, :]
+    sim, dist = _sim_and_dist(shifted)
+    return {"similarity": sim, "distance": dist}
+
+
 def extract_class_text_features(model, params) -> np.ndarray:
     """Learned per-class text features from a (restored) model's params."""
     import jax
