@@ -219,6 +219,10 @@ def main(argv=None):
     parser.add_argument("--text_width", type=int, default=512)
     parser.add_argument("--text_heads", type=int, default=8)
     parser.add_argument("--text_layers", type=int, default=12)
+    # projected-NTE view (reference visualize_add.py:84-255): project the
+    # memory-bank embeds through a trained checkpoint's per-class
+    # memory_project MLPs before the 2D embedding
+    parser.add_argument("--project_vlm", type=str, default="")
     args = parser.parse_args(argv)
 
     if args.cones:
@@ -231,6 +235,21 @@ def main(argv=None):
 
     assert args.embeddings, "--embeddings required outside cone/pairwise/study"
     feats, labels = load_embeddings(args.embeddings, args.label_key)
+
+    if args.project_vlm:
+        # reference visualize_projected_NTE: per-class memory_project replay
+        from .decode import _load_vlm_heads
+        assert labels is not None, "--project_vlm needs labeled embeddings"
+        vlm_params, _ = _load_vlm_heads(args.project_vlm)
+        mp = {k: np.asarray(v) for k, v in vlm_params["memory_project"].items()}
+        n_cls = mp["w1"].shape[0]
+        valid = (labels >= 0) & (labels < n_cls)
+        feats, labels = feats[valid], labels[valid]
+        h = np.tanh(np.einsum("me,ceh->cmh", feats, mp["w1"])
+                    + mp["b1"][:, None])
+        proj = np.einsum("cmh,chk->cmk", h, mp["w2"]) + mp["b2"][:, None]
+        feats = proj[labels, np.arange(len(labels))]   # each row by its class
+        feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
     if len(feats) > args.max_points:
         idx = np.random.RandomState(args.seed).choice(
             len(feats), args.max_points, replace=False)

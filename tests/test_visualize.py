@@ -71,6 +71,30 @@ def test_pairwise_similarity_split(tmp_path):
     assert osp.isfile(out["proj"]["png"])
 
 
+def test_projected_nte_view(tmp_path):
+    """--project_vlm: memory-bank embeds pass through the checkpoint's
+    per-class memory_project MLPs before the 2D scatter (reference
+    visualize_add.py:84-255)."""
+    from gava_clip_tpu.cli.visualize import main
+    rs = np.random.RandomState(5)
+    E = 16
+    bank = {"embeds": rs.randn(40, E).astype(np.float32),
+            "updrs": np.concatenate([rs.randint(0, 3, 38), [-1, 3]])}
+    with open(tmp_path / "bank.pkl", "wb") as f:
+        pickle.dump(bank, f)
+    vlm = {"params": {"memory_project": {
+        "w1": rs.randn(3, E, 4).astype(np.float32),
+        "b1": np.zeros((3, 4), np.float32),
+        "w2": rs.randn(3, 4, 2).astype(np.float32),
+        "b2": np.zeros((3, 2), np.float32)}}}
+    with open(tmp_path / "vlm.ckpt", "wb") as f:
+        pickle.dump(vlm, f)
+    out = main(["--embeddings", str(tmp_path / "bank.pkl"),
+                "--project_vlm", str(tmp_path / "vlm.ckpt"),
+                "--output_dir", str(tmp_path / "vis")])
+    assert osp.isfile(out["scatter"])
+
+
 def test_number_words():
     from gava_clip_tpu.offline.embeddings import number_words
     w = number_words(132)
