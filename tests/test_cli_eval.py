@@ -189,6 +189,42 @@ def test_zero_shot_k400_shape(tmp_path, monkeypatch, reference_modules):
     assert osp.isfile("./eval_output/class_name.txt")
 
 
+def test_train_eval_only_k400_shape(tmp_path, monkeypatch, reference_modules):
+    """scripts/k400_eval.sh path: train.py --eval_only with a torch visual
+    checkpoint, the shipped 400-class no-'*' list, and batch_split > 1
+    (reference eval_scripts/k400_eval.sh)."""
+    import gava_clip_tpu
+    from gava_clip_tpu.cli.train import main as train_main
+    repo_root = osp.dirname(osp.dirname(gava_clip_tpu.__file__))
+    k400_classes = osp.join(repo_root, "classes", "k400_classes.txt")
+    _make_dataset(tmp_path)
+    backbone, vlm = _save_torch_backbone(tmp_path, reference_modules)
+    monkeypatch.chdir(tmp_path)
+    perf, conf = train_main([
+        "--eval_only", "--nfold", "1",
+        "--checkpoint_path", vlm,
+        "--val_data_root", str(tmp_path),
+        "--val_list_path", str(tmp_path / "val_updrs.csv"),
+        "--text_prompt_classes_path", k400_classes,
+        "--batch_size", "4", "--batch_split", "2", "--num_frames", "2",
+        "--spatial_size", "32", "--patch_size", "16",
+        "--num_layers", "2", "--num_heads", "2", "--feature_dim", "32",
+        "--embed_dim", "32", "--mlp_factor", "2.0",
+        "--text_transformer_width", "32", "--text_transformer_heads", "2",
+        "--text_transformer_layers", "2",
+        "--use_text_prompt_learning", "--text_num_prompts", "2",
+        "--use_text_prompt_CSC",
+        "--use_summary_token", "--use_local_prompts", "--use_global_prompts",
+        "--num_global_prompts", "8",
+        "--num_workers", "2", "--no_mirror",
+    ])
+    assert len(perf) == 1
+    assert conf.shape == (400, 400) and conf.sum() == 4
+    # reference k400_eval.sh passes no --type, so the report
+    # lands under the default type tag
+    assert osp.isfile("./eval_output/diag_eval.txt")
+
+
 def test_zero_shot_driver(tmp_path, monkeypatch, reference_modules):
     from gava_clip_tpu.cli.zero_shot import main as zs_main
     _make_dataset(tmp_path)
