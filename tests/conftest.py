@@ -63,6 +63,7 @@ def reference_modules():
         "VitaCLIP_vision_encoder_utils",
         "VitaCLIP_vision_encoder",
         "loss_utils",
+        "memory_head",
     ]:
         mods[name] = importlib.import_module(name)
     return mods
