@@ -9,7 +9,6 @@ names (decode.py:127-182).
 """
 
 import argparse
-import copy
 import pickle
 from typing import Dict, Optional
 

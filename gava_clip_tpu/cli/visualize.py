@@ -8,7 +8,7 @@ import argparse
 import os
 import os.path as osp
 import pickle
-from typing import Optional
+
 
 import numpy as np
 
