@@ -63,24 +63,57 @@ def _zero_tail_rows(x, valid: int):
     rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     return jnp.where(rows < valid, x, jnp.zeros_like(x))
 
+def _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim,
+                        store):
+    """Whole-row attention with the single-elementwise-pass softmax.
+
+    Every elementwise traversal of the num_heads (Lq, Lk) fp32 score tiles
+    costs ~0.15 ms/layer at the bench shape (64 rows, L=214) — ~4x the MXU
+    dots themselves — so the naive softmax's ~7 passes (scale, mask-where,
+    max, sub+exp, sum, div, store cast) dominate the kernel. This form
+    keeps exactly ONE: scale folds into the exp2 constant, the
+    max-subtraction becomes a saturating clamp (exact whenever scaled
+    scores < 126 — any non-pathological CLIP tower; beyond that probs
+    saturate uniformly instead of overflowing), the padded-key-column mask
+    is a broadcast {0,1} multiply, and the store cast fuses in. The softmax
+    denominator comes off the MXU (`e @ ones` column block, min lane tile
+    128 wide) and the divide happens on the (Lq, head_dim) AV output —
+    head_dim/Lk of the elements.
+
+    `store(h_slice, out)` receives each head's normalized (Lq, head_dim)
+    fp32 output.
+    """
+    Lk = k.shape[0]
+    c = scale * 1.4426950408889634                    # fold scale into exp2
+    colmask = None
+    if lk_valid < Lk:
+        colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, Lk), 1)
+                   < lk_valid).astype(jnp.float32)
+    ones = jnp.ones((Lk, 128), v.dtype)
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        e = jnp.exp2(jnp.minimum(s * c, 126.0))
+        if colmask is not None:
+            e = e * colmask
+        e = e.astype(v.dtype)
+        out = jnp.dot(e, v[:, sl], preferred_element_type=jnp.float32)
+        denom = jnp.dot(e, ones, preferred_element_type=jnp.float32)[:, :1]
+        store(sl, out / jnp.maximum(denom, 1e-30))
+
+
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                       lk_valid: int, num_heads: int, head_dim: int):
     q = q_ref[0]
     k = _zero_tail_rows(k_ref[0], lk_valid)
     v = _zero_tail_rows(v_ref[0], lk_valid)
-    Lq, Lk = q.shape[0], k.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        scores = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if lk_valid < Lk:
-            scores = jnp.where(col < lk_valid, scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.dot(probs.astype(v.dtype), v[:, sl],
-                      preferred_element_type=jnp.float32)
+
+    def store(sl, out):
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+    _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim, store)
 
 
 def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
@@ -293,18 +326,10 @@ def _attention_out_kernel(q_ref, k_ref, v_ref, w_ref, s_ref, b_ref, r_ref,
     q = q_ref[0]
     k = _zero_tail_rows(k_ref[0], lk_valid)
     v = _zero_tail_rows(v_ref[0], lk_valid)
-    Lq, Lk = q.shape[0], k.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        scores = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if lk_valid < Lk:
-            scores = jnp.where(col < lk_valid, scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1)
-        attn_ref[:, sl] = jnp.dot(probs.astype(v.dtype), v[:, sl],
-                                  preferred_element_type=jnp.float32)
+    def store(sl, out):
+        attn_ref[:, sl] = out
+
+    _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim, store)
     a = attn_ref[...]
     xs = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-6) \
         * (1.0 / 127.0)
