@@ -120,45 +120,59 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
                           dq_ref, dk_ref, dv_ref, *, scale: float,
                           lq_valid: int, lk_valid: int, num_heads: int,
                           head_dim: int):
-    """Whole-row flash backward: recompute scores/softmax per head in VMEM,
-    then dp = do@v^T, ds = p*(dp - rowsum(p*dp)), dq = ds@k, dk = ds^T@q,
-    dv = p^T@do. No residuals are read from HBM.
+    """Whole-row flash backward with the single-pass softmax recompute.
 
-    The kernel runs on PARTIAL tiles (no explicit HBM padding): key columns
-    >= lk_valid are masked to -inf before softmax; query rows >= lq_valid
-    carry garbage from the partial tile and are zeroed out of p/ds so they
-    cannot contaminate the dk/dv contractions (their dq rows are never
-    stored)."""
+    Matches the forward's exp2-clamp softmax bit-for-bit (same `e`
+    expression), and keeps the wide (Lq, Lk) elementwise work to TWO passes
+    per head — the dominant cost at these shapes (~0.15 ms per pass per
+    layer at the bench shape, 4x the MXU dots):
+      * e = exp2(clamp(s*c)) * colmask, stored bf16 (pass 1);
+      * ds = e * inv_denom * (dp - delta), stored bf16 (pass 2).
+    Everything else rides the MXU or narrow (Lq, head_dim) tiles:
+    denom = e @ ones; o = (e @ v) * inv_denom recomputes the forward
+    output so delta = rowsum(do * o) needs only a head_dim-wide reduce
+    (the classic flash-bwd delta trick); dv = e^T @ (do * inv_denom)
+    pushes the normalization onto do's rows instead of p's tile.
+
+    Partial-tile hygiene: q/do garbage rows are zeroed, so their dp/delta
+    and hence ds rows are exactly 0 (no dk/dv contamination; their dq rows
+    are never stored). k/v garbage rows are zeroed AND their e columns
+    masked to 0, so dk/dv garbage rows receive exactly 0."""
     q = _zero_tail_rows(q_ref[0], lq_valid)
     k = _zero_tail_rows(k_ref[0], lk_valid)
     v = _zero_tail_rows(v_ref[0], lk_valid)
     do = _zero_tail_rows(do_ref[0], lq_valid)
     Lq, Lk = q.shape[0], k.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 0)
+    c = scale * 1.4426950408889634
+    colmask = None
+    if lk_valid < Lk:
+        colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, Lk), 1)
+                   < lk_valid).astype(jnp.float32)
+    ones = jnp.ones((Lk, 128), v.dtype)
     contract_q = (((0,), (0,)), ((), ()))     # (Lq,Lk) x (Lq,Dh) -> (Lk,Dh)
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
-        scores = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if lk_valid < Lk:
-            scores = jnp.where(col < lk_valid, scores, -jnp.inf)
-        p = jax.nn.softmax(scores, axis=-1)                      # fp32
-        if lq_valid < Lq:
-            p = jnp.where(row < lq_valid, p, 0.0)
-        dp = jax.lax.dot_general(
-            doh, vh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # (Lq, Lk)
-        delta = jnp.sum(p * dp, axis=-1, keepdims=True)          # (Lq, 1)
-        ds = p * (dp - delta)                                    # fp32
-        ds_c = ds.astype(v.dtype)
-        p_c = p.astype(v.dtype)
-        dq = jnp.dot(ds_c, kh, preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds_c, qh, contract_q,
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        e = jnp.exp2(jnp.minimum(s * c, 126.0))
+        if colmask is not None:
+            e = e * colmask
+        e = e.astype(v.dtype)                                   # pass 1
+        denom = jnp.dot(e, ones, preferred_element_type=jnp.float32)[:, :1]
+        inv_d = 1.0 / jnp.maximum(denom, 1e-30)                 # (Lq, 1)
+        o = jnp.dot(e, vh, preferred_element_type=jnp.float32) * inv_d
+        delta = jnp.sum(doh.astype(jnp.float32) * o, axis=-1,
+                        keepdims=True)                          # (Lq, 1)
+        dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (e.astype(jnp.float32) * inv_d * (dp - delta)
+              ).astype(v.dtype)                                 # pass 2
+        do_n = (doh.astype(jnp.float32) * inv_d).astype(v.dtype)
+        dq = jnp.dot(ds, kh, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, qh, contract_q,
                                  preferred_element_type=jnp.float32) * scale
-        dv = jax.lax.dot_general(p_c, doh, contract_q,
+        dv = jax.lax.dot_general(e, do_n, contract_q,
                                  preferred_element_type=jnp.float32)
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
         dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
@@ -182,7 +196,11 @@ def _packed_forward(q: jax.Array, k: jax.Array, v: jax.Array,
     # columns are masked in-kernel (lk_valid), padded query rows produce
     # garbage that is never stored. The CPU interpreter pads blocks with
     # garbage that can be NaN, so tests pad explicitly.
-    Lqp, Lkp = _ceil_to(Lq, 128), _ceil_to(Lk, 128)
+    # pad only to the fp32 sublane quantum (8): Mosaic handles lane-
+    # unaligned score tiles fine, and every garbage row in the block
+    # costs real VPU work in the exp pass (256->200 q rows at the bench
+    # shape was -19% kernel time)
+    Lqp, Lkp = _ceil_to(Lq, 8), _ceil_to(Lk, 8)
     interp = jax.default_backend() != "tpu"
     if interp:
         q, k, v = _pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp)
@@ -206,7 +224,11 @@ def _packed_backward(q, k, v, do, num_heads: int):
     B, Lq, D = q.shape
     Lk = k.shape[1]
     head_dim = D // num_heads
-    Lqp, Lkp = _ceil_to(Lq, 128), _ceil_to(Lk, 128)
+    # pad only to the fp32 sublane quantum (8): Mosaic handles lane-
+    # unaligned score tiles fine, and every garbage row in the block
+    # costs real VPU work in the exp pass (256->200 q rows at the bench
+    # shape was -19% kernel time)
+    Lqp, Lkp = _ceil_to(Lq, 8), _ceil_to(Lk, 8)
     interp = jax.default_backend() != "tpu"
     if interp:
         q, k, v = _pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp)
@@ -352,7 +374,11 @@ def flash_attention_out_int8(q, k, v, num_heads, out_params, residual):
     B, Lq, D = q.shape
     Lk = k.shape[1]
     head_dim = D // num_heads
-    Lqp, Lkp = _ceil_to(Lq, 128), _ceil_to(Lk, 128)
+    # pad only to the fp32 sublane quantum (8): Mosaic handles lane-
+    # unaligned score tiles fine, and every garbage row in the block
+    # costs real VPU work in the exp pass (256->200 q rows at the bench
+    # shape was -19% kernel time)
+    Lqp, Lkp = _ceil_to(Lq, 8), _ceil_to(Lk, 8)
     interp = jax.default_backend() != "tpu"
     if interp:
         q, k, v = _pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp)
