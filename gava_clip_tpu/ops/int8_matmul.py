@@ -259,8 +259,23 @@ def _w8a8_kernel3(x_ref, wq_ref, wk_ref, wv_ref, s_ref, b_ref, *rest,
                       + b[idx:idx + 1]).astype(out_dtype)
 
 
+def _pick_bm_even(M: int, cap: int) -> int:
+    """Largest row-block <= cap (sublane-aligned) that yields an EVEN number
+    of grid blocks, so the two v5e megacores split a parallel 1D grid
+    evenly. At the bench shape (M=13696) the 856-row cap picks 16 blocks:
+    measured 0.190 ms vs 0.203 ms for bm=512 (27 blocks, 14/13 split).
+    bm=1712 (8 blocks) measured 0.184 but its ~20 MB scoped footprint
+    (bf16 block + fp32 LN copy + three outputs) trips the 16 MB scoped
+    VMEM limit in some surrounding compositions."""
+    best = min(cap, _cdiv(M, 8) * 8)
+    n = _cdiv(M, best)
+    if n > 1:
+        n += n % 2
+    return _cdiv(_cdiv(M, n), 8) * 8
+
+
 def w8a8_matmul3(x: jax.Array, wq3, scale3, bias3=None, ln=None,
-                 block_m: int = 512):
+                 block_m: int = 856):
     """Shared-quant triple GEMM for self-attention q/k/v projections: the
     activation tile is read from HBM, [LayerNorm'd,] and quantized ONCE,
     then multiplied by three int8 weight matrices (one VMEM-resident copy
@@ -277,7 +292,7 @@ def w8a8_matmul3(x: jax.Array, wq3, scale3, bias3=None, ln=None,
     N = wq3[0].shape[1]
     for w in wq3:
         assert w.shape == (K, N)
-    bm = min(block_m, _cdiv(M, 8) * 8)
+    bm = _pick_bm_even(M, block_m)
     scales = jnp.concatenate([s.astype(jnp.float32) for s in scale3], axis=0)
     if bias3 is None:
         biases = jnp.zeros((3, N), jnp.float32)
