@@ -122,7 +122,7 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
     attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
     # rematerialize the vision blocks for long clips (T=70 flagship);
     # short clips fit activations in HBM without recompute
-    remat = getattr(args, "remat_policy", "dots") \
+    remat = getattr(args, "remat_policy", "full") \
         if args.num_frames >= 16 else False
     mean, std = _mean_std(args)
 

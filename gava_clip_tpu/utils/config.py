@@ -121,7 +121,11 @@ def setup_train_args(parser: argparse.ArgumentParser):
     parser.add_argument('--eval_all_views', action='store_true',
                         help='average logits over all spatial x temporal eval '
                              'views (beyond parity: the reference keeps view 0)')
-    parser.add_argument('--remat_policy', type=str, default='dots',
+    # default 'full': with the 2-pass Pallas flash backward, full-block
+    # recompute measures 305.4 ms vs 313.5 for 'dots' at the flagship
+    # B=4 T=70 shape (tools/bench_train_step.py) — recompute is cheap
+    # enough that the lower HBM pressure wins
+    parser.add_argument('--remat_policy', type=str, default='full',
                         choices=['none', 'full', 'dots'],
                         help='vision-tower rematerialization for long clips: '
                              'full = recompute whole blocks in backward '
