@@ -97,14 +97,19 @@ def main():
         return best
 
     cps_bf16 = measure(params_bf16)
-    cps_w8a8 = measure(params_w8a8)
-
-    # accuracy gate for the int8 mode: softmax-prob delta vs bf16 on device
     p_ref = np.asarray(jax.nn.softmax(fwd(params_bf16, video), -1),
                        np.float32)
-    p_q = np.asarray(jax.nn.softmax(fwd(params_w8a8, video), -1), np.float32)
-    prob_delta = float(np.abs(p_ref - p_q).max())
-    w8a8_ok = prob_delta <= 0.05
+    try:
+        cps_w8a8 = measure(params_w8a8)
+        # accuracy gate for the int8 mode: softmax-prob delta vs bf16
+        p_q = np.asarray(jax.nn.softmax(fwd(params_w8a8, video), -1),
+                         np.float32)
+        prob_delta = float(np.abs(p_ref - p_q).max())
+        w8a8_ok = prob_delta <= 0.05
+    except Exception as e:  # never lose the bench line to an int8 failure
+        cps_w8a8, prob_delta, w8a8_ok = 0.0, float("nan"), False
+        print(f"w8a8 mode failed, falling back to bf16: {e!r}"[:300],
+              file=__import__('sys').stderr)
 
     if w8a8_ok and cps_w8a8 > cps_bf16:
         clips_per_sec, mode = cps_w8a8, "w8a8"

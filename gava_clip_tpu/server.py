@@ -174,6 +174,9 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--quantize", choices=["", "w8", "w8a8"], default="")
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--data_parallel", type=int, default=0,
+                    help="shard the serving batch over this many devices "
+                         "(a 'data' mesh via shard_map; 0 = single device)")
     args = ap.parse_args(argv)
 
     from .data.video import parse_classes_file
@@ -182,9 +185,13 @@ def main(argv=None):
     model = build_zero_shot(num_frames=args.num_frames,
                             num_classes=len(labels), text_features=tf,
                             backbone_path=args.backbone_path or None)
+    mesh = None
+    if args.data_parallel:
+        from .parallel.mesh import create_mesh
+        mesh = create_mesh(n_devices=args.data_parallel)
     clf = VideoClassifier.from_model(
         model, classnames=labels, batch_size=args.batch_size,
-        quantize=args.quantize or False).warmup()
+        quantize=args.quantize or False, mesh=mesh).warmup()
     httpd = serve(clf, args.host, args.port, args.max_wait_ms)
     print(f"serving on {args.host}:{args.port} "
           f"(batch={args.batch_size}, quantize={args.quantize or 'bf16'})")

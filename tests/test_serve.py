@@ -47,3 +47,35 @@ def test_classify_video(tiny_classifier, tmp_path):
     label, probs = tiny_classifier.classify_video(str(p))
     assert label in ("normal", "slight", "moderate")
     assert probs.shape == (3,)
+
+
+def test_sharded_serving_matches_single_device(tiny_classifier):
+    """DP serving over a 'data' mesh (shard_map, weights replicated) must
+    reproduce the single-device classifier bit-for-bit-ish: the per-shard
+    forward is the same program on a batch slice, with no collectives."""
+    from gava_clip_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh(n_devices=4)
+    clf = VideoClassifier(tiny_classifier.model, tiny_classifier.model.params,
+                          tiny_classifier.classnames, batch_size=4, mesh=mesh)
+    rs = np.random.RandomState(3)
+    clips = rs.randint(0, 255, (6, 2, 32, 32, 3), np.uint8)
+    probs_sharded = clf.classify_clips(clips)
+    probs_single = tiny_classifier.classify_clips(clips)
+    np.testing.assert_allclose(probs_sharded, probs_single, atol=1e-5)
+
+
+def test_sharded_serving_batch_divisibility():
+    from gava_clip_tpu.parallel.mesh import create_mesh
+    from gava_clip_tpu.models.vision import VisionConfig
+    from gava_clip_tpu.models.vita_clip import VitaClip, VitaClipConfig
+    mesh = create_mesh(n_devices=4)
+    tf = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    cfg = VitaClipConfig(
+        vision=VisionConfig(input_size=(32, 32), num_frames=2, feature_dim=32,
+                            patch_size=(16, 16), heads=2, layers=1,
+                            mlp_factor=2.0, embed_dim=16),
+        num_classes=3, zeroshot_evaluation=True)
+    model = VitaClip(cfg, zeroshot_text_features=tf)
+    with pytest.raises(ValueError, match="divisible"):
+        VideoClassifier.from_model(model, ["a", "b", "c"], batch_size=6,
+                                   mesh=mesh)
