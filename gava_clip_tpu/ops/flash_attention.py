@@ -72,10 +72,13 @@ def _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim,
     dots themselves — so the naive softmax's ~7 passes (scale, mask-where,
     max, sub+exp, sum, div, store cast) dominate the kernel. This form
     keeps exactly ONE: scale folds into the exp2 constant, the
-    max-subtraction becomes a saturating clamp (exact whenever scaled
-    scores < 126 — any non-pathological CLIP tower; beyond that probs
-    saturate uniformly instead of overflowing), the padded-key-column mask
-    is a broadcast {0,1} multiply, and the store cast fuses in. The softmax
+    max-subtraction becomes a saturating clamp at exp2-arg 110 (exact
+    whenever scaled scores < 110 — any non-pathological CLIP tower;
+    beyond that probs saturate uniformly instead of overflowing; the 2^17
+    margin below fp32's 2^127 keeps the row sums and the e@v accumulator
+    finite even with every key at the clamp: 2^110 * Lk * |v| < 2^128
+    for Lk <= 640), the padded-key-column mask is a broadcast {0,1}
+    multiply, and the store cast fuses in. The softmax
     denominator comes off the MXU (`e @ ones` column block, min lane tile
     128 wide) and the divide happens on the (Lq, head_dim) AV output —
     head_dim/Lk of the elements.
@@ -95,7 +98,7 @@ def _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim,
         s = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        e = jnp.exp2(jnp.minimum(s * c, 126.0))
+        e = jnp.exp2(jnp.minimum(s * c, 110.0))
         if colmask is not None:
             e = e * colmask
         e = e.astype(v.dtype)
@@ -126,7 +129,7 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
     expression), and keeps the wide (Lq, Lk) elementwise work to TWO passes
     per head — the dominant cost at these shapes (~0.15 ms per pass per
     layer at the bench shape, 4x the MXU dots):
-      * e = exp2(clamp(s*c)) * colmask, stored bf16 (pass 1);
+      * e = exp2(clamp(s*c) at 110) * colmask, stored bf16 (pass 1);
       * ds = e * inv_denom * (dp - delta), stored bf16 (pass 2).
     Everything else rides the MXU or narrow (Lq, head_dim) tiles:
     denom = e @ ones; o = (e @ v) * inv_denom recomputes the forward
@@ -155,7 +158,7 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
         qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        e = jnp.exp2(jnp.minimum(s * c, 126.0))
+        e = jnp.exp2(jnp.minimum(s * c, 110.0))
         if colmask is not None:
             e = e * colmask
         e = e.astype(v.dtype)                                   # pass 1

@@ -117,3 +117,25 @@ def test_packed_backward_cross_attention_shape():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32), atol=0.5,
                                    rtol=0.05)
+
+
+def test_large_scores_saturate_without_overflow():
+    """The single-pass softmax replaces max-subtraction with a clamp at
+    exp2-arg 110 (the 2^17 headroom keeps row sums finite even with every
+    key at the clamp). Scaled scores below the clamp must be exact vs the
+    reference; far beyond (q*k ~ 1e5) the kernel must degrade to finite
+    outputs (uniform saturation), never inf/NaN."""
+    rs = np.random.RandomState(2)
+    # large-ish scores (|scaled| ~ 20 < 110): still exact
+    q = jnp.asarray(2.0 * rs.randn(2, 30, 64).astype(np.float32))
+    k = jnp.asarray(2.0 * rs.randn(2, 40, 64).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, 40, 64).astype(np.float32))
+    want = _reference_attention(q, k, v, num_heads=4)
+    got = flash_attention(q, k, v, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+    # pathological scores (scaled >> 126): finite, convex-combination range
+    qh = jnp.asarray(300.0 * np.abs(rs.randn(1, 16, 64)).astype(np.float32))
+    got = np.asarray(flash_attention(qh, qh, v[:1, :16], 4))
+    assert np.isfinite(got).all()
+    assert np.abs(got).max() <= np.abs(np.asarray(v[:1, :16])).max() + 1e-3
