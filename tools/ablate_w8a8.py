@@ -6,7 +6,11 @@
    flash attention + int8 out-proj, fused MLP.
 
 All timings use the data-dependent chain-in-one-jit trick (the relay's
-block_until_ready is unreliable).
+block_until_ready is unreliable), measured at TWO chain lengths with the
+difference taken — the ~30 ms relay round-trip per chain invocation
+otherwise inflates every per-iter figure by (RTT / iters), which at 30
+iters is a ~1 ms/iter floor that once made healthy kernels read as 10x
+slow.
 """
 
 import os
@@ -21,26 +25,29 @@ import jax
 import jax.numpy as jnp
 
 B, T = 8, 8
-ITERS = 30
+ITERS_LO, ITERS_HI = 30, 150
 
 
 def chain_time(fn, *args, reps=3):
-    """Time ITERS data-dependent applications of fn inside one jit; only a
-    scalar crosses the relay."""
+    """Per-iteration time of fn via data-dependent chains at two lengths;
+    the (HI-LO)/(HI-LO iters) difference cancels the constant relay
+    round-trip so the result is pure device time."""
+    best = {}
+    for iters in (ITERS_LO, ITERS_HI):
+        @jax.jit
+        def chain(*a, iters=iters):
+            def body(i, carry):
+                return fn(*carry)
+            return jax.lax.fori_loop(0, iters, body, a)[-1]
 
-    @jax.jit
-    def chain(*a):
-        def body(i, carry):
-            return fn(*carry)
-        return jax.lax.fori_loop(0, ITERS, body, a)[-1]
-
-    float(chain(*args))  # compile + warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(chain(*args))
-        best = min(best, (time.perf_counter() - t0) / ITERS)
-    return best
+        float(chain(*args))  # compile + warm
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(*args))
+            b = min(b, time.perf_counter() - t0)
+        best[iters] = b
+    return (best[ITERS_HI] - best[ITERS_LO]) / (ITERS_HI - ITERS_LO)
 
 
 def tower_scaling():
