@@ -98,11 +98,19 @@ def main(argv=None):
         model = build_model_from_args(args_zs, num_classes,
                                       zeroshot_text_features=ckpt["text_features"])
         params = _params_from_ckpt(model, ckpt, args, num_classes)
+        attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        compute_dtype = jnp.bfloat16 if getattr(args, "bf16", False) \
+            else jnp.float32
+        from ..ops.quant import prepare_inference_params
+        params = prepare_inference_params(
+            params, getattr(args, "quantize_eval", ""), compute_dtype)
 
         @jax.jit
         def forward(params, video_u8):
             video = normalize_frames(video_u8, mean, std)
-            out = model.apply(params, model.buffers, video)
+            out = model.apply(params, model.buffers, video,
+                              compute_dtype=compute_dtype,
+                              attn_impl=attn_impl)
             return jax.nn.softmax(out["logits"], axis=-1)
 
         loader = create_val_loader(lcfg)

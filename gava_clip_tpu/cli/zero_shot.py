@@ -114,11 +114,18 @@ def main(argv=None):
             jnp.asarray, merge_pytrees(params, loaded))
 
     mean, std = _mean_std(args)
+    attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    compute_dtype = jnp.bfloat16 if getattr(args, "bf16", False) \
+        else jnp.float32
+    from ..ops.quant import prepare_inference_params
+    params = prepare_inference_params(
+        params, getattr(args, "quantize_eval", ""), compute_dtype)
 
     @jax.jit
     def forward(params, video_u8):
         video = normalize_frames(video_u8, mean, std)
-        out = model.apply(params, model.buffers, video)
+        out = model.apply(params, model.buffers, video,
+                          compute_dtype=compute_dtype, attn_impl=attn_impl)
         return jnp.argmax(out["logits"], axis=-1)
 
     lcfg = loader_config_from_args(args)

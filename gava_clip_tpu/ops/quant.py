@@ -70,6 +70,24 @@ def quantize_tower_params(params: Dict, act_quant: bool = False) -> Dict:
     return jax.tree_util.tree_map_with_path(visit, params)
 
 
+def prepare_inference_params(params: Dict, quantize: str = "",
+                             compute_dtype=None) -> Dict:
+    """Eval/serving param prep: optionally int8-quantize the projection
+    kernels (quantize in {'', 'w8', 'w8a8'}) and cast remaining float
+    leaves to compute_dtype (halves HBM traffic for bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    if quantize:
+        params = quantize_tower_params(params, act_quant=(quantize == "w8a8"))
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            params)
+    return params
+
+
 def dequantize_tree(params: Dict, dtype=None) -> Dict:
     """Materialize bf16 kernels from a quantized pytree (inside jit, so the
     dequant fuses into consumers)."""

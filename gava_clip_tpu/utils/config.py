@@ -121,6 +121,12 @@ def setup_train_args(parser: argparse.ArgumentParser):
     parser.add_argument('--eval_all_views', action='store_true',
                         help='average logits over all spatial x temporal eval '
                              'views (beyond parity: the reference keeps view 0)')
+    parser.add_argument('--quantize_eval', choices=['', 'w8', 'w8a8'],
+                        default='',
+                        help='inference-only int8 for the evaluate/zero_shot '
+                             'drivers: w8 = weight-only dequant GEMMs, '
+                             'w8a8 = int8 MXU path (~566 vs ~448 clips/s '
+                             'bf16 on v5e; softmax-prob delta vs bf16 ~1e-4)')
     # default 'full': with the 2-pass Pallas flash backward, full-block
     # recompute measures 305.4 ms vs 313.5 for 'dots' at the flagship
     # B=4 T=70 shape (tools/bench_train_step.py) — recompute is cheap

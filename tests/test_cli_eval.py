@@ -258,3 +258,24 @@ def test_zero_shot_driver(tmp_path, monkeypatch, reference_modules):
     assert conf.sum() == 4
     assert osp.isfile(tmp_path / "data" / "ke_updrs" / "text_features_v1.npy")
     assert osp.isfile("./eval_output/disc_v1.txt")
+
+
+def test_evaluate_driver_quantized(trained_run, monkeypatch):
+    """--quantize_eval w8a8 runs the int8 inference path in the standalone
+    evaluator (XLA composition on CPU) and agrees with the fp run."""
+    from gava_clip_tpu.cli.evaluate import main as eval_main
+    tmp, classes, logdir = trained_run
+    monkeypatch.chdir(tmp)
+    common = [
+        "--checkpoint_dir", logdir,
+        "--data_root", str(tmp),
+        "--val_list_path", str(tmp / "val_updrs.csv"),
+        "--text_prompt_classes_path", str(classes),
+        "--batch_size", "2",
+    ]
+    perf_fp, conf_fp = eval_main(common)
+    perf_q, conf_q = eval_main(common + ["--quantize_eval", "w8a8"])
+    assert len(perf_q) == 1 and 0.0 <= perf_q[0] <= 1.0
+    assert conf_q.sum() == conf_fp.sum() == 4
+    # int8 at these magnitudes must not flip the tiny-model predictions
+    assert (conf_q == conf_fp).all()
