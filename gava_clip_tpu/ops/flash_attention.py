@@ -9,13 +9,17 @@ path):
    12 heads x 64 dims — reference attention semantics:
    training/VitaCLIP_vision_encoder_utils.py:31-81):
      * forward: one grid cell per batch row holds the whole padded sequence
-       in VMEM and loops the heads; the (L, L) fp32 score tile never touches
-       HBM. Measured on v5e (L=214, B=512, bf16): 8.5 ms vs 15.7 ms for the
-       XLA einsum composition — 1.85x.
-     * backward: same whole-row layout; recomputes scores/softmax in VMEM
-       per head (no lse/probs residuals in HBM at all) and emits dq/dk/dv
-       from one kernel. Replaces the round-1 XLA-recompute fallback, which
-       materialized the (B, H, L, L) probs tensor in HBM during backward.
+       in VMEM and loops the heads; the (L, L) fp32 score tile never
+       touches HBM, and the softmax costs ONE elementwise pass over it
+       (see _onepass_softmax_av — at the bench shape each pass is ~0.15
+       ms/layer, 4x the MXU dots, so pass count IS the kernel's cost
+       model). Sequence padding is to the sublane quantum (8), not 128:
+       garbage rows are real VPU work. Measured on v5e at (B=64 rows,
+       Lq=197/Lk=214, bf16): 0.27 ms/layer vs 0.53 for the XLA einsum
+       composition; the int8-out fused variant runs 0.30 ms/layer.
+     * backward: same whole-row layout; recomputes the forward's exact
+       exp2-clamp softmax in VMEM (no lse/probs residuals in HBM at all)
+       in 2 elementwise passes and emits dq/dk/dv from one kernel.
 
 2. **Streaming flash** for long sequences and the causal text tower: wraps
    the stock `jax.experimental.pallas.ops.tpu.flash_attention` (KV-blocked
