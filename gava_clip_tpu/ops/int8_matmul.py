@@ -94,8 +94,9 @@ def quantized_linear(qparams, x: jax.Array, use_kernel: bool = True) -> jax.Arra
 # accumulator is rescaled right after, so HBM traffic is identical to a bf16
 # GEMM (x in, y out, int8 weights) while the MXU runs at its int8 rate.
 # Measured on v5e (relay-amortized two-length chains): the pure int8
-# dot + rescale sustains 260-273 TOP/s vs 158-189 TF/s for a bf16 dot in
-# the same harness — the int8 MXU's real rate here, not the nominal 394.
+# dot + rescale sustains ~280-300 TOP/s at the tower K=768/3072 shapes
+# (317 at K=N=4096) vs 158-189 TF/s for a bf16 dot in the same harness —
+# the int8 MXU's real rate here, not the nominal 394.
 # The fused triple GEMM at the ViT-B/16 shape (13696, 768)x(768, 768)x3
 # runs ~255 TOP/s incl. the in-kernel LN+quant; the same composition left
 # to XLA is slower because the int32/fp32 intermediates round-trip HBM.
