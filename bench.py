@@ -125,6 +125,30 @@ def main():
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
 
+    # device-only B=1 latency: two chain lengths differenced to cancel the
+    # relay round-trip (which dominates the per-call p50 above ~12x here)
+    def device_latency(params):
+        best = {}
+        for iters in (30, 150):
+            @jax.jit
+            def chain_n(p, v, iters=iters):
+                def body(i, carry):
+                    vv, acc = carry
+                    s = forward_fn(p, vv).astype(jnp.float32).sum()
+                    return (vv + (s * 0).astype(vv.dtype), acc + s)
+                return jax.lax.fori_loop(0, iters, body,
+                                         (v, jnp.float32(0)))[1]
+            float(chain_n(params, video1))
+            b = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(chain_n(params, video1))
+                b = min(b, time.perf_counter() - t0)
+            best[iters] = b
+        return (best[150] - best[30]) / 120 * 1e3
+
+    dev_lat_ms = float(device_latency(params_bf16))
+
     flops = vit_flops_per_clip(T=T)
     achieved_tflops = clips_per_sec * flops / 1e12
     ref_clips_per_sec = 0.45 * 91e12 / flops
@@ -136,6 +160,7 @@ def main():
         "w8a8_prob_delta_vs_bf16": round(prob_delta, 4),
         "w8a8_accuracy_gate": "pass" if w8a8_ok else "FAIL",
         "p50_latency_ms_b1": round(p50_ms, 2),
+        "device_latency_ms_b1_bf16": round(dev_lat_ms, 2),
         "batch": B,
         "achieved_tflops_equiv": round(achieved_tflops, 1),
         "flops_per_clip_g": round(flops / 1e9, 1),
