@@ -139,3 +139,30 @@ def test_large_scores_saturate_without_overflow():
     got = np.asarray(flash_attention(qh, qh, v[:1, :16], 4))
     assert np.isfinite(got).all()
     assert np.abs(got).max() <= np.abs(np.asarray(v[:1, :16])).max() + 1e-3
+
+
+def test_fused_int8_out_projection_matches_composition():
+    """flash_attention_out_int8 (attention + in-kernel act-quant int8
+    out-projection + residual — the w8a8 serving hot path) vs the explicit
+    reference composition, interpret mode on CPU."""
+    from gava_clip_tpu.ops.flash_attention import flash_attention_out_int8
+    rs = np.random.RandomState(8)
+    B, Lq, Lk, D, H = 3, 30, 38, 64, 4
+    q = jnp.asarray(rs.randn(B, Lq, D).astype(np.float32) * 0.1)
+    k = jnp.asarray(rs.randn(B, Lk, D).astype(np.float32) * 0.1)
+    v = jnp.asarray(rs.randn(B, Lk, D).astype(np.float32) * 0.1)
+    r = jnp.asarray(rs.randn(B, Lq, D).astype(np.float32) * 0.1)
+    wq = jnp.asarray(rs.randint(-127, 127, (D, D), np.int8))
+    sc = jnp.asarray(np.abs(rs.randn(1, D)).astype(np.float32) * 0.01)
+    b = jnp.asarray(rs.randn(D).astype(np.float32) * 0.01)
+    outp = {"kernel": {"qa": wq, "scale": sc}, "bias": b}
+
+    got = np.asarray(flash_attention_out_int8(q, k, v, H, outp, r),
+                     np.float32)
+
+    attn = np.asarray(_reference_attention(q, k, v, H), np.float32)
+    xs = np.maximum(np.abs(attn).max(-1, keepdims=True), 1e-6) / 127.0
+    aq = np.clip(np.round(attn / xs), -127, 127).astype(np.int32)
+    want = ((aq @ np.asarray(wq, np.int32)).astype(np.float32) * xs
+            * np.asarray(sc) + np.asarray(b) + np.asarray(r, np.float32))
+    np.testing.assert_allclose(got, want, atol=1e-4)

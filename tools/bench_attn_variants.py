@@ -176,10 +176,16 @@ def base_layer(x, extras, attn_p, mlp_p, ln1, ln2, heads=HEADS):
 
 
 def make_params(rs):
+    # weight scales sized so dequantized weights are ~N(0, 1/sqrt(fan_in))
+    # and attention scores stay in the exact (non-saturating) domain of the
+    # production kernels' clamped softmax — like a real trained tower
+    # (|scaled scores| < 110; the clamp semantics are covered by
+    # tests/test_flash_attention.py::test_large_scores_saturate_without_overflow)
     def qleaf(k, n):
         return {"kernel": {"qa": jnp.asarray(rs.randint(-127, 128, (k, n), np.int8)),
                            "scale": jnp.asarray(
-                               np.abs(rs.randn(1, n)).astype(np.float32) * 0.01)},
+                               np.abs(rs.randn(1, n)).astype(np.float32)
+                               * (0.5 / 127.0 / np.sqrt(k)))},
                 "bias": jnp.asarray(rs.randn(n).astype(np.float32) * 0.01)}
     attn_p = {n: qleaf(D, D) for n in ("q", "k", "v", "out")}
     mlp_p = {"fc1": qleaf(D, H), "fc2": qleaf(H, D)}
