@@ -107,7 +107,9 @@ def main():
         prob_delta = float(np.abs(p_ref - p_q).max())
         w8a8_ok = prob_delta <= 0.05
     except Exception as e:  # never lose the bench line to an int8 failure
-        cps_w8a8, prob_delta, w8a8_ok = 0.0, float("nan"), False
+        # prob_delta=None (not NaN): bare NaN in the JSON line breaks strict
+        # parsers (jq) on exactly the failure case this branch survives
+        cps_w8a8, prob_delta, w8a8_ok = 0.0, None, False
         print(f"w8a8 mode failed, falling back to bf16: {e!r}"[:300],
               file=__import__('sys').stderr)
 
@@ -157,7 +159,8 @@ def main():
         "mode": mode,
         "clips_per_sec_bf16": round(cps_bf16, 1),
         "clips_per_sec_w8a8": round(cps_w8a8, 1),
-        "w8a8_prob_delta_vs_bf16": round(prob_delta, 4),
+        "w8a8_prob_delta_vs_bf16": (None if prob_delta is None
+                                    else round(prob_delta, 4)),
         "w8a8_accuracy_gate": "pass" if w8a8_ok else "FAIL",
         "p50_latency_ms_b1": round(p50_ms, 2),
         "device_latency_ms_b1_bf16": round(dev_lat_ms, 2),

@@ -18,7 +18,6 @@ from typing import Optional
 
 import numpy as np
 
-from ..data.device_preprocess import normalize_frames
 from ..data.loader import create_val_loader
 from ..data.video import parse_classes_file
 from ..models.factory import build_model_from_args
@@ -105,40 +104,25 @@ def main(argv=None):
         params = prepare_inference_params(
             params, getattr(args, "quantize_eval", ""), compute_dtype)
 
-        @jax.jit
-        def forward(params, video_u8):
-            video = normalize_frames(video_u8, mean, std)
-            out = model.apply(params, model.buffers, video,
-                              compute_dtype=compute_dtype,
-                              attn_impl=attn_impl)
-            return jax.nn.softmax(out["logits"], axis=-1)
+        # mesh-sharded eval through the jitted confusion-matrix step
+        # (train/step.py make_eval_step) — the batch einsum performs the
+        # reference's all_reduce(conf_mat) under GSPMD
+        mesh = None
+        if jax.device_count() > 1 and \
+                args.batch_size % jax.device_count() == 0:
+            from ..parallel.mesh import create_mesh, replicate
+            mesh = create_mesh()
+            params = replicate(params, mesh)
+            _log(f"eval data-parallel over {mesh.size} devices")
 
+        from .train import evaluate as _evaluate
         loader = create_val_loader(lcfg)
-        tot = hit1 = 0
-        for batch in loader:
-            video = batch["video"]
-            n = video.shape[0]
-            if n < args.batch_size:
-                video = np.concatenate(
-                    [video, np.repeat(video[-1:], args.batch_size - n, axis=0)])
-            if video.ndim == 6:  # --eval_all_views: average view probabilities
-                B, V = video.shape[:2]
-                probs = np.asarray(forward(
-                    params,
-                    jnp.asarray(video.reshape((B * V,) + video.shape[2:]))))
-                preds = probs.reshape(B, V, -1).mean(1).argmax(-1)[:n]
-            else:
-                preds = np.asarray(forward(
-                    params, jnp.asarray(video))).argmax(-1)[:n]
-            labels = np.asarray(batch["labels"])[:n]
-            np.add.at(conf_total, (labels, preds), 1)
-            tot += n
-            hit1 += int((preds == labels).sum())
-            if tot % 20 == 0:
-                _log(f"[Evaluation] num_samples: {tot}  "
-                     f"cumulative_acc1: {hit1 / tot * 100.:.2f}%")
-        _log(f"Accuracy on evaluation set fold-{nf}: top1={hit1 / tot * 100:.2f}%")
-        performance.append(hit1 / tot)
+        acc, conf = _evaluate(model, params, loader, num_classes, mean, std,
+                              compute_dtype, args.batch_size,
+                              attn_impl=attn_impl, mesh=mesh)
+        conf_total += conf
+        _log(f"Accuracy on evaluation set fold-{nf}: top1={acc:.2f}%")
+        performance.append(acc / 100.0)
 
     _log(f"Overall accuracy: {np.mean(performance) * 100:.2f}%")
     f1 = f1_from_confusion(conf_total.astype(np.float64))

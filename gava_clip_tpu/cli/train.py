@@ -56,7 +56,8 @@ def loader_config_from_args(args) -> LoaderConfig:
         num_workers=args.num_workers, dummy_dataset=args.dummy_dataset,
         add_nte=args.add_nte, num_steps=args.num_steps or 0,
         type=args.type, nfold=args.nfold, embed_dim=args.embed_dim,
-        eval_all_views=getattr(args, 'eval_all_views', False))
+        eval_all_views=getattr(args, 'eval_all_views', False),
+        allow_seek=getattr(args, 'allow_seek', True))
 
 
 def _mean_std(args):
@@ -67,47 +68,70 @@ def _mean_std(args):
     return norm3(args.mean, 0.45), norm3(args.std, 0.225)
 
 
-def evaluate(model, params, loader, num_classes: int, mean, std,
-             compute_dtype, batch_size: int, attn_impl: str = "xla") -> tuple:
-    """Eval loop accumulating a host-side confusion matrix.
+# jitted eval steps are cached per (model, shape) so repeated eval passes in
+# one fold reuse the compiled executable instead of re-tracing
+_EVAL_STEP_CACHE = {}
 
-    Batches are padded to `batch_size` to keep one compiled shape; the pad
-    rows are sliced off on host. Mirrors reference evaluate (train.py:646-688).
+
+def _get_eval_step(model, num_classes, mean, std, compute_dtype, attn_impl,
+                   num_views):
+    from ..train.step import make_eval_step
+    key = (id(model), num_classes, tuple(mean), tuple(std),
+           str(compute_dtype), attn_impl, num_views)
+    if key not in _EVAL_STEP_CACHE:
+        _EVAL_STEP_CACHE[key] = make_eval_step(
+            model, num_classes, compute_dtype=compute_dtype,
+            attn_impl=attn_impl, mean=mean, std=std, num_views=num_views)
+    return _EVAL_STEP_CACHE[key]
+
+
+def evaluate(model, params, loader, num_classes: int, mean, std,
+             compute_dtype, batch_size: int, attn_impl: str = "xla",
+             mesh=None) -> tuple:
+    """Eval loop through the jitted confusion-matrix step (train/step.py).
+
+    Batches are padded to `batch_size` (one compiled shape); pad rows are
+    excluded via the step's valid mask. The confusion matrix accumulates on
+    device. With a mesh, video/labels are sharded on the 'data' axis and the
+    step's einsum performs the cross-device reduction — the reference's
+    `all_reduce(conf_mat)` semantics (train.py:531-534, 646-688) — while the
+    forward runs data-parallel over all chips.
     """
-    import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def forward(params, video_u8):
-        video = normalize_frames(video_u8, mean, std, compute_dtype=jnp.float32)
-        out = model.apply(params, model.buffers, video,
-                          compute_dtype=compute_dtype, attn_impl=attn_impl)
-        return jax.nn.softmax(out["logits"], axis=-1)
-
-    conf = np.zeros((num_classes, num_classes), np.int64)
+    conf_dev = None
     tot = hit1 = 0
     for batch in loader:
-        video = batch["video"]
+        video = np.asarray(batch["video"])
+        labels = np.asarray(batch["labels"], np.int32)
         n = video.shape[0]
         if n < batch_size:
-            pad = np.repeat(video[-1:], batch_size - n, axis=0)
-            video = np.concatenate([video, pad], axis=0)
-        if video.ndim == 6:
-            # multi-view eval: flatten views, average probabilities
+            video = np.concatenate(
+                [video, np.repeat(video[-1:], batch_size - n, axis=0)])
+            labels = np.concatenate(
+                [labels, np.zeros(batch_size - n, np.int32)])
+        valid = np.arange(batch_size) < n
+        if video.ndim == 6:  # multi-view eval: flatten views for the step
             B, V = video.shape[:2]
-            probs = np.asarray(forward(
-                params, jnp.asarray(video.reshape((B * V,) + video.shape[2:]))))
-            preds = probs.reshape(B, V, -1).mean(1).argmax(-1)[:n]
+            video = video.reshape((B * V,) + video.shape[2:])
         else:
-            preds = np.asarray(forward(params,
-                                       jnp.asarray(video))).argmax(-1)[:n]
-        labels = np.asarray(batch["labels"])[:n]
-        np.add.at(conf, (labels, preds), 1)
+            V = 1
+        step = _get_eval_step(model, num_classes, mean, std, compute_dtype,
+                              attn_impl, V)
+        dev = {"video": jnp.asarray(video), "labels": jnp.asarray(labels),
+               "valid": jnp.asarray(valid)}
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+            dev = shard_batch(dev, mesh)
+        h, c = step(params, dev["video"], dev["labels"], dev["valid"])
+        conf_dev = c if conf_dev is None else conf_dev + c
         tot += n
-        hit1 += int((preds == labels).sum())
+        hit1 += int(h)
         if tot % 20 == 0:
             _log(f"[Evaluation] num_samples: {tot}  "
                  f"cumulative_acc1: {hit1 / tot * 100.:.2f}%")
+    conf = (np.asarray(conf_dev).astype(np.int64) if conf_dev is not None
+            else np.zeros((num_classes, num_classes), np.int64))
     acc = hit1 / max(tot, 1) * 100
     _log(f"Accuracy on validation set: top1={acc:.2f}%")
     return acc, conf
@@ -120,6 +144,9 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
 
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    if getattr(args, "debug_attn_clamp", False):
+        from ..ops import flash_attention as _fa
+        _fa.enable_clamp_monitor(True)
     # rematerialize the vision blocks for long clips (T=70 flagship);
     # short clips fit activations in HBM without recompute
     remat = getattr(args, "remat_policy", "full") \
@@ -249,6 +276,14 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
             txt = (f"step {i}  batch_time: {batch_ed - batch_st:.3f}  "
                    f"data_time: {data_ed - batch_st:.3f}  "
                    f"loss: {loss_v:.6f}  acc1: {acc1 * 100:.2f}%")
+            if getattr(args, "debug_attn_clamp", False):
+                from ..ops import flash_attention as _fa
+                m = _fa.clamp_stats["max_exp2_arg"]
+                txt += f"  attn_max_exp2_arg: {m:.1f}"
+                if m >= 0.8 * _fa._CLAMP_LIMIT:
+                    _log(f"[anomaly] attention logits at {m:.1f} approaching "
+                         f"the exp2 clamp ({_fa._CLAMP_LIMIT}) — softmax will "
+                         "flatten silently past it")
             if "loss_mt" in metrics:
                 txt += f"  loss_mt: {float(metrics['loss_mt']):.6f}"
             if "loss_vm" in metrics:
@@ -272,7 +307,8 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
             params = state.params
             eval_acc, conf = evaluate(model, params, val_loader, num_classes,
                                       mean, std, compute_dtype,
-                                      args.batch_size, attn_impl=attn_impl)
+                                      args.batch_size, attn_impl=attn_impl,
+                                      mesh=mesh)
             eval_perf = float(f1_from_confusion(conf).mean())
             if writer is not None:
                 writer.add_scalar("test/accuracy", eval_acc, i + 1)
@@ -342,10 +378,18 @@ def eval_only_fold(args, fold: int, classnames: List[str], num_classes: int):
     params = jax.tree_util.tree_map(
         jnp.asarray, merge_pytrees(model.params, loaded))
 
+    mesh = None
+    if jax.device_count() > 1 and args.batch_size % jax.device_count() == 0:
+        from ..parallel.mesh import create_mesh, replicate
+        mesh = create_mesh()
+        params = replicate(params, mesh)
+        _log(f"eval data-parallel over {mesh.size} devices")
+
     lcfg = loader_config_from_args(args)
     val_loader = create_val_loader(lcfg)
     acc, conf = evaluate(model, params, val_loader, num_classes, mean, std,
-                         compute_dtype, args.batch_size, attn_impl=attn_impl)
+                         compute_dtype, args.batch_size, attn_impl=attn_impl,
+                         mesh=mesh)
     return acc, conf
 
 
@@ -421,6 +465,23 @@ def main(argv=None):
                     " ".join(f"{x:.4f}" for x in s["wf1_per_class"]))
             f.write(f"\nAverage weighted F1-score: {s['wf1_sum']:.4f}")
             f.write(f"\nMin-Max difference: {min_max:.4f}")
+        np.savetxt(osp.join(logdir, "confusion_matrix_total.txt"),
+                   all_conf, fmt="%d")
+        try:
+            # aggregate confusion-matrix heatmap (reference train.py:592-641)
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import seaborn as sns
+            plt.figure(figsize=(10, 10))
+            sns.heatmap(all_conf.astype(int), annot=True, fmt="d",
+                        cmap="Blues", cbar=True)
+            plt.xlabel("prediction")
+            plt.ylabel("ground truth")
+            plt.savefig(osp.join(logdir, "confusion_matrix_total.png"))
+            plt.close()
+        except ImportError:
+            pass
         _log(f"Total average accuracy: {np.mean(performances):.4f}")
 
 

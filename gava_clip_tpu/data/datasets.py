@@ -36,6 +36,7 @@ class VideoDatasetConfig:
     num_folds: int = 1
     nte_dim: int = 512
     return_all_views: bool = False  # beyond parity: reference keeps view 0
+    allow_seek: bool = True         # False = sequential decode (ref parity)
 
 
 class VideoDataset:
@@ -86,8 +87,16 @@ class VideoDataset:
             n = V.video_num_frames(path)
             indices = V.sample_frame_indices(n, cfg.num_frames, cfg.sampling_rate,
                                              random_sample=True, rng=self.rng)
-            frames = V.decode_frames(path, indices)
-            # (optional RandAugment hook would go here on uint8 frames)
+            frames = V.decode_frames(path, indices, allow_seek=cfg.allow_seek)
+            # DOCUMENTED DEVIATION (augmentation order): the reference
+            # RandAugments full decoded frames and random-resized-crops
+            # afterwards (video_dataset/dataset.py:98-113). Here the crop
+            # happens host-side FIRST (so only S x S uint8 pixels cross to
+            # the device) and RandAugment runs on-device on the cropped clip
+            # (cli/train.py make_train_augment). Distributionally close —
+            # geometric ops commute with the crop up to border handling, and
+            # color ops are pixelwise — but not the literal reference recipe;
+            # pinned by tests/test_device_preprocess.py.
             if cfg.mirror and self.rng.rand() < 0.5:
                 frames = frames[:, :, ::-1]
             frames = V.random_resized_crop(frames, cfg.spatial_size, rng=self.rng)

@@ -50,6 +50,7 @@ class LoaderConfig:
     mem_batch_size: int = 64
     for_zero_shot: bool = False
     # misc
+    allow_seek: bool = True  # False = sequential decode (VFR-safe parity)
     num_workers: int = 4
     dummy_dataset: bool = False
     eval_all_views: bool = False
@@ -151,7 +152,8 @@ def create_train_loader(cfg: LoaderConfig, resume_step: int = 0,
             num_frames=cfg.num_frames,
             sampling_rate=-1 if cfg.tsn_sampling else cfg.sampling_rate,
             spatial_size=cfg.spatial_size, mirror=False, auto_augment=None,
-            is_train=True, add_nte=cfg.add_nte, nte_dim=cfg.embed_dim))
+            is_train=True, add_nte=cfg.add_nte, nte_dim=cfg.embed_dim,
+            allow_seek=cfg.allow_seek))
     grid = step_sampler(len(ds), cfg.num_steps, cfg.batch_size,
                         rank=rank, world_size=world_size, resume_step=resume_step)
     return _Prefetcher(lambda idxs: _collate_video(ds, idxs), list(grid),
@@ -172,7 +174,7 @@ def create_val_loader(cfg: LoaderConfig, rank: int = 0, world_size: int = 1):
             random_sample=False, num_frames=cfg.num_frames,
             sampling_rate=-1 if cfg.tsn_sampling else cfg.sampling_rate,
             spatial_size=cfg.spatial_size, is_train=False,
-            return_all_views=cfg.eval_all_views))
+            return_all_views=cfg.eval_all_views, allow_seek=cfg.allow_seek))
     order = eval_sampler(len(ds), rank, world_size)
     batches = [order[i:i + cfg.batch_size]
                for i in range(0, len(order), cfg.batch_size)]
@@ -189,7 +191,7 @@ def create_eval_loader(cfg: LoaderConfig, rank: int = 0, world_size: int = 1):
         num_temporal_views=cfg.num_temporal_views, random_sample=False,
         num_frames=cfg.num_frames, sampling_rate=1,
         spatial_size=cfg.spatial_size, is_train=False,
-        num_folds=cfg.nfold, cls_type=cfg.type))
+        num_folds=cfg.nfold, cls_type=cfg.type, allow_seek=cfg.allow_seek))
     order = eval_sampler(len(ds), rank, world_size)
     batches = [order[i:i + cfg.batch_size]
                for i in range(0, len(order), cfg.batch_size)]

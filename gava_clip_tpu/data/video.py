@@ -66,10 +66,16 @@ def decode_frames(path: str, indices: Optional[Sequence[int]] = None,
     CAP_PROP_POS_FRAMES seeking when a gap exceeds SEEK_MIN_GAP. Every seek
     is validated by reading back the landing position: undershoot just
     reads forward (still exact), overshoot/bogus disables seeking and
-    falls back to one sequential pass — content is identical to a full
-    sequential decode either way (ffmpeg seeks land on a keyframe and
-    decode forward to the target). Measured numbers: tools/
-    bench_host_pipeline.py, "8 TSN frames from a 300-frame clip"."""
+    falls back to one sequential pass. Caveat: the landing check reads
+    CAP_PROP_POS_FRAMES, which the FFmpeg backend derives from the seek
+    request rather than decoded content — on well-formed constant-frame-rate
+    containers the result is identical to a sequential decode, but VFR or
+    broken-timestamp files can pass the check while landing on a different
+    frame. Parity-sensitive evals on unreliable containers should pass
+    allow_seek=False (exposed as VideoDatasetConfig/LoaderConfig.allow_seek
+    and the --no_seek_decode driver flag) to force the reference's
+    sequential decode. Measured numbers: tools/bench_host_pipeline.py,
+    "8 TSN frames from a 300-frame clip"."""
     assert cv2 is not None, "OpenCV is required for video decode"
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
@@ -245,6 +251,78 @@ def random_resized_crop_params(height: int, width: int,
     else:
         w, h = width, height
     return (height - h) // 2, (width - w) // 2, h, w
+
+
+def random_short_side_scale_jitter(frames: np.ndarray, min_size: int,
+                                   max_size: int,
+                                   inverse_uniform_sampling: bool = False,
+                                   rng: Optional[np.random.RandomState] = None
+                                   ) -> np.ndarray:
+    """Short-side scale jitter (reference transform.py:48-102 semantics on
+    (T, H, W, C) frames): sample a target short side uniformly in
+    [min_size, max_size] (or as a reciprocal of a uniform inverse-scale),
+    bilinear-resize keeping aspect. Dead in the reference train path but part
+    of its public transform surface."""
+    rng = rng or np.random
+    if inverse_uniform_sampling:
+        size = int(round(1.0 / rng.uniform(1.0 / max_size, 1.0 / min_size)))
+    else:
+        size = int(round(rng.uniform(min_size, max_size)))
+    T, H, W, C = frames.shape
+    if (W <= H and W == size) or (H <= W and H == size):
+        return frames
+    new_h = new_w = size
+    if W < H:
+        new_h = int(np.floor(float(H) / W * size))
+    else:
+        new_w = int(np.floor(float(W) / H * size))
+    assert cv2 is not None
+    out = np.empty((T, new_h, new_w, C), frames.dtype)
+    for t in range(T):
+        out[t] = cv2.resize(frames[t], (new_w, new_h),
+                            interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+def horizontal_flip(prob: float, frames: np.ndarray,
+                    rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """Standalone horizontal flip with probability `prob` (reference
+    transform.py:160-192 on (T, H, W, C) frames; the box branch is unused by
+    the reference video path)."""
+    rng = rng or np.random
+    if rng.uniform() < prob:
+        return frames[:, :, ::-1]
+    return frames
+
+
+def resized_crop_with_shift(frames: np.ndarray, size: int,
+                            box_first, box_last) -> np.ndarray:
+    """Deterministic core of random_resized_crop_with_shift (reference
+    transform.py:580-622): linearly interpolate two (i, j, h, w) crop boxes
+    across frames, crop + bilinear-resize each frame to size x size."""
+    assert cv2 is not None
+    T = frames.shape[0]
+    coords = np.stack([np.linspace(a, b, T) for a, b in
+                       zip(box_first, box_last)], axis=1).astype(int)
+    out = np.empty((T, size, size, frames.shape[3]), frames.dtype)
+    for t, (i, j, h, w) in enumerate(coords):
+        out[t] = cv2.resize(frames[t, i:i + h, j:j + w], (size, size),
+                            interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+def random_resized_crop_with_shift(frames: np.ndarray, size: int,
+                                   scale=(0.8, 1.0),
+                                   ratio=(3.0 / 4.0, 4.0 / 3.0),
+                                   rng: Optional[np.random.RandomState] = None
+                                   ) -> np.ndarray:
+    """Per-frame shifted random resized crop (reference transform.py:580-622):
+    two independent crop boxes for the first and last frame, linearly
+    interpolated for the frames between."""
+    H, W = frames.shape[1:3]
+    b0 = random_resized_crop_params(H, W, scale, ratio, rng)
+    b1 = random_resized_crop_params(H, W, scale, ratio, rng)
+    return resized_crop_with_shift(frames, size, b0, b1)
 
 
 def random_resized_crop(frames: np.ndarray, size: int,

@@ -243,6 +243,97 @@ def cut_straight_segments(video_path: str, x_center: np.ndarray,
     return outs
 
 
+def crop_frame_with_bbox(frame: np.ndarray, c_x: float, c_y: float,
+                         bsize: float, out_size: int = 256) -> np.ndarray:
+    """Crop one frame around a tracking bbox and resize to out_size²
+    (reference train_utils.py:495-574 inner loop): the box half-size is
+    bsize*224/2, the crop is clamped to the image, zero-padded to square on
+    the bottom/right, then resized."""
+    half = int(bsize * 224 / 2)
+    x1, y1 = int(c_x) - half, int(c_y) - half
+    x2, y2 = int(c_x) + half, int(c_y) + half
+    x1, y1 = max(x1, 0), max(y1, 0)
+    y2, x2 = min(y2, frame.shape[0]), min(x2, frame.shape[1])
+    crop = frame[y1:y2, x1:x2]
+    w, h = x2 - x1, y2 - y1
+    if w > h:
+        crop = np.concatenate(
+            [crop, np.zeros((w - h, w, 3), dtype=np.uint8)], axis=0)
+    elif h > w:
+        crop = np.concatenate(
+            [crop, np.zeros((h, h - w, 3), dtype=np.uint8)], axis=1)
+    return cv2.resize(crop, (out_size, out_size))
+
+
+def crop_videos_with_bbox(vid_dir: str, bbox_path: str, out_dir: str,
+                          fps: int = 30, out_size: int = 256) -> List[str]:
+    """Crop videos to per-subsequence tracking bboxes and write 256²
+    subsequence clips (reference train_utils.py crop_video_with_bbox,
+    :495-574) — cv2 decode/encode replaces the reference's tmp-PNG + ffmpeg
+    round trip. The bbox file is a pickled/joblib dict
+    {seqname: {'bbox': (N,3) [cx, cy, size], 'frame_ids': (N,)}} where
+    seqname starts with the source video stem."""
+    from ..data.video import decode_frames
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        import joblib
+        bbox_dict = joblib.load(bbox_path)
+    except ImportError:
+        import pickle
+        with open(bbox_path, "rb") as f:
+            bbox_dict = pickle.load(f)
+    outs = []
+    for vn in sorted(x for x in os.listdir(vid_dir) if x.endswith(".mp4")):
+        stem = vn.split(".")[0]
+        seqnames = [s for s in bbox_dict if s.startswith(stem)]
+        if not seqnames:
+            continue
+        frames = decode_frames(osp.join(vid_dir, vn))  # RGB
+        for sn in seqnames:
+            bbox = np.asarray(bbox_dict[sn]["bbox"], float)
+            fids = np.asarray(bbox_dict[sn]["frame_ids"], int)
+            crops = np.stack([
+                crop_frame_with_bbox(frames[fid], *bbox[i], out_size=out_size)
+                for i, fid in enumerate(fids) if fid < len(frames)])
+            out = osp.join(out_dir, f"{sn}.mp4")
+            _write_chunk(crops, out, fps)
+            outs.append(out)
+    return outs
+
+
+def gold_standard_to_label(csv_file: str, vid_dir: str,
+                           out_path: str = "data/tulip_label_60.xlsx") -> str:
+    """Gold-standard csv -> label table with a `label_info` sheet (reference
+    train_utils.py gold_standard2label, :576-609): per camera video, look up
+    the subject's diag ('HT' -> 0, else 1) and gold-standard score. Falls
+    back to .pkl with the same column dict when no xlsx engine is installed
+    (load_label_table reads both)."""
+    import pandas as pd
+    data = pd.read_csv(csv_file, header=0)
+    data = data[["Subject", "gold_standard", "diag"]].to_numpy()
+    label_info = {"vidname": [], "diag": [], "score": []}
+    vid_names = [x for x in os.listdir(vid_dir) if x.endswith(".mp4")]
+    vid_names = sorted(vid_names, key=lambda x: int(
+        x.split("_")[1] + x.split("Camera")[1][0]))
+    for vn in vid_names:
+        sub_id = int(vn.split("_")[1])
+        row = np.where(data[:, 0] == sub_id)[0]
+        diag = 0 if data[row, 2][0] == "HT" else 1
+        label_info["vidname"].append(vn.split(".")[0])
+        label_info["diag"].append(diag)
+        label_info["score"].append(data[row, 1][0])
+    try:
+        with pd.ExcelWriter(out_path) as writer:
+            pd.DataFrame(label_info).to_excel(writer, sheet_name="label_info",
+                                              index=False)
+    except (ImportError, ValueError, ModuleNotFoundError):
+        import pickle
+        out_path = out_path.rsplit(".", 1)[0] + ".pkl"
+        with open(out_path, "wb") as f:
+            pickle.dump({"label_info": label_info}, f)
+    return out_path
+
+
 def annotations_to_csv(video_dir: str, out_csv: str,
                        class_to_label: Optional[Dict[str, int]] = None):
     """Directory-of-class-folders -> `<path>,<label>` csv (reference

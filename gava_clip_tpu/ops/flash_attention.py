@@ -316,6 +316,49 @@ def _streaming_flash(q, k, v, num_heads: int, causal: bool):
     return out[:, :Lq]
 
 
+# ---------------------------------------------------------------------------
+# clamp drift monitor (debug mode)
+# ---------------------------------------------------------------------------
+# The packed kernels' one-pass softmax replaces max-subtraction with a
+# saturating clamp at exp2-arg 110 (exact while scaled logits stay below it;
+# above it relative weighting between above-clamp keys flattens silently —
+# forward and backward). Nothing in the fast path detects a trained tower
+# drifting past the clamp, so this opt-in monitor recomputes the exact max
+# exp2-argument outside the kernel (debug mode trades one extra fp32 score
+# einsum for certainty) and records it host-side via jax.debug.callback.
+
+_CLAMP_LIMIT = 110.0
+_monitor_enabled = False
+clamp_stats = {"max_exp2_arg": 0.0, "clipped": False, "calls": 0}
+
+
+def enable_clamp_monitor(enabled: bool = True) -> None:
+    """Toggle the drift monitor (and reset its stats). Must be called before
+    tracing — the check is baked in at trace time."""
+    global _monitor_enabled
+    _monitor_enabled = enabled
+    clamp_stats.update(max_exp2_arg=0.0, clipped=False, calls=0)
+
+
+def _record_max_arg(m):
+    m = float(m)
+    clamp_stats["calls"] += 1
+    if m > clamp_stats["max_exp2_arg"]:
+        clamp_stats["max_exp2_arg"] = m
+    if m >= _CLAMP_LIMIT:
+        clamp_stats["clipped"] = True
+
+
+def _monitor_clamp(q, k, num_heads):
+    B, Lq, D = q.shape
+    Dh = D // num_heads
+    c = (Dh ** -0.5) * 1.4426950408889634
+    qh = q.reshape(B, Lq, num_heads, Dh).astype(jnp.float32)
+    kh = k.reshape(B, k.shape[1], num_heads, Dh).astype(jnp.float32)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)
+    jax.debug.callback(_record_max_arg, jnp.max(jnp.abs(s)) * c)
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     num_heads: int = 12, causal: bool = False) -> jax.Array:
     """Self-attention over packed (B, L, H*Dh) q/k/v.
@@ -325,6 +368,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     kernels. Both are differentiable with Pallas backward passes.
     """
     if not causal and k.shape[1] <= _PACKED_MAX_LK:
+        if _monitor_enabled:
+            _monitor_clamp(q, k, num_heads)
         return _packed_flash(q, k, v, num_heads)
     return _streaming_flash(q, k, v, num_heads, causal)
 

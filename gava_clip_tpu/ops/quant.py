@@ -81,9 +81,13 @@ def prepare_inference_params(params: Dict, quantize: str = "",
     if quantize:
         params = quantize_tower_params(params, act_quant=(quantize == "w8a8"))
     if compute_dtype is not None and compute_dtype != jnp.float32:
+        # Inspect x.dtype directly — np.asarray(x) would materialize
+        # device-committed leaves on host (a full transfer through the
+        # serialized relay just to read a dtype). jnp.issubdtype knows
+        # ml_dtypes bfloat16, which is not a subtype of np.floating.
         params = jax.tree_util.tree_map(
             lambda x: x.astype(compute_dtype)
-            if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
             params)
     return params
 

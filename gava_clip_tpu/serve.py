@@ -84,11 +84,10 @@ class VideoClassifier:
             # shard_map over the data axis: each device runs the whole tower
             # (incl. Pallas kernels) on its local batch slice — no
             # collectives; the output gather is the only cross-chip traffic
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
-            self._forward = jax.jit(shard_map(
+            self._forward = jax.jit(jax.shard_map(
                 _fwd, mesh=mesh, in_specs=(P(), P("data")),
-                out_specs=P("data"), check_rep=False))
+                out_specs=P("data"), check_vma=False))
         else:
             self._forward = jax.jit(_fwd)
 

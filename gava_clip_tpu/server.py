@@ -51,16 +51,23 @@ class MicroBatcher:
         self.worker.start()
 
     def _loop(self):
+        import time
         while not self._stop.is_set():
             try:
                 first = self.q.get(timeout=0.1)
             except queue.Empty:
                 continue
             batch = [first]
-            deadline = self.max_wait
+            # Absolute deadline: the coalescing window is bounded by one
+            # max_wait total, not restarted per queued request (a slow
+            # trickle must not hold the first request (batch-1)*max_wait).
+            deadline = time.monotonic() + self.max_wait
             while len(batch) < self.clf.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    batch.append(self.q.get(timeout=deadline))
+                    batch.append(self.q.get(timeout=remaining))
                 except queue.Empty:
                     break
             clips = np.stack([p.clip for p in batch])

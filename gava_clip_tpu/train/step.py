@@ -136,21 +136,42 @@ def make_train_step(model, loss_cfg: LossConfig, optimizer,
 
 
 def make_eval_step(model, num_classes: int, compute_dtype=jnp.float32,
-                   attn_impl: str = "xla"):
-    """Eval step: (params, batch) -> (hit1, conf_mat (C,C)).
+                   attn_impl: str = "xla", mean=None, std=None,
+                   num_views: int = 1):
+    """Eval step: (params, video, labels[, valid]) -> (hit1, conf_mat (C,C)).
 
     Confusion-matrix accumulation mirrors reference evaluate()
-    (train.py:646-688) — rows = true class, cols = prediction.
+    (train.py:646-688) — rows = true class, cols = prediction — and runs
+    entirely on device: under a mesh-sharded batch the one_hot einsum implies
+    the cross-device reduction, i.e. the reference's `all_reduce(conf_mat)`
+    (train.py:531-534) falls out of GSPMD instead of a host-side np.add.at.
+
+    mean/std: when given, `video` is uint8 and is normalized in-step (fusing
+    into the first GEMM). num_views > 1: `video` is (B*V, ...) view-flattened
+    and per-view probabilities are averaged before argmax (--eval_all_views).
+    valid: optional (B,) bool mask excluding batch padding rows from both
+    hit1 and the confusion matrix.
     """
+    from ..data.device_preprocess import normalize_frames
 
     @jax.jit
-    def step(params, video, labels):
+    def step(params, video, labels, valid=None):
+        if mean is not None:
+            video = normalize_frames(video, mean, std,
+                                     compute_dtype=jnp.float32)
         outputs = model.apply(params, model.buffers, video,
                               compute_dtype=compute_dtype, attn_impl=attn_impl)
-        preds = jnp.argmax(outputs["logits"], axis=-1)
-        onehot_t = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+        probs = jax.nn.softmax(outputs["logits"], axis=-1)
+        if num_views > 1:
+            probs = probs.reshape(labels.shape[0], num_views, -1).mean(axis=1)
+        preds = jnp.argmax(probs, axis=-1)
+        w = (jnp.ones_like(labels, jnp.float32) if valid is None
+             else valid.astype(jnp.float32))
+        onehot_t = jax.nn.one_hot(labels, num_classes,
+                                  dtype=jnp.float32) * w[:, None]
         onehot_p = jax.nn.one_hot(preds, num_classes, dtype=jnp.float32)
         conf = jnp.einsum("bi,bj->ij", onehot_t, onehot_p)
-        return (preds == labels).sum(), conf
+        hit1 = ((preds == labels) * w).sum()
+        return hit1, conf
 
     return step

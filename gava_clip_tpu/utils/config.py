@@ -36,6 +36,13 @@ def setup_data_args(parser: argparse.ArgumentParser):
     parser.add_argument('--interpolation', type=str, default='bicubic')
     parser.add_argument('--no_mirror', action='store_false', dest='mirror')
     parser.set_defaults(mirror=True)
+    parser.add_argument('--no_seek_decode', action='store_false',
+                        dest='allow_seek',
+                        help='decode sequentially instead of seeking '
+                             '(reference parity on VFR/broken-timestamp '
+                             'containers where POS_FRAMES seeks are '
+                             'frame-inaccurate)')
+    parser.set_defaults(allow_seek=True)
 
 
 def setup_checkpoint_args(parser: argparse.ArgumentParser):
@@ -144,6 +151,11 @@ def setup_train_args(parser: argparse.ArgumentParser):
                         help='on a non-finite loss, roll back to the last '
                              'checkpoint and continue (failure detection; '
                              'the reference has none, SURVEY.md §5)')
+    parser.add_argument('--debug_attn_clamp', action='store_true',
+                        help='monitor the flash-attention exp2-clamp: '
+                             'recompute the exact max scaled logit outside '
+                             'the kernel and warn if a trained tower drifts '
+                             'toward the saturation threshold (110)')
 
 
 def build_train_parser() -> argparse.ArgumentParser:

@@ -46,6 +46,35 @@ def test_train_augment_with_randaugment_and_erasing():
     assert np.isfinite(out).all()
 
 
+def test_augment_order_crop_first_pinned(tmp_path):
+    """Pins the documented augmentation-order deviation (data/datasets.py):
+    the train dataset emits already-cropped (T, S, S, 3) uint8 clips — the
+    random resized crop happens host-side BEFORE device-side RandAugment,
+    unlike the reference's augment-then-crop (video_dataset/dataset.py:98-113).
+    If this order ever changes, update the deviation note alongside."""
+    import cv2
+    from gava_clip_tpu.data.datasets import VideoDataset, VideoDatasetConfig
+    w = cv2.VideoWriter(str(tmp_path / "a.mp4"),
+                        cv2.VideoWriter_fourcc(*"mp4v"), 30, (48, 40))
+    rs = np.random.RandomState(0)
+    for _ in range(12):
+        w.write(rs.randint(0, 255, (40, 48, 3), np.uint8))
+    w.release()
+    (tmp_path / "train.csv").write_text("a.mp4,0\n")
+    ds = VideoDataset(VideoDatasetConfig(
+        list_path=str(tmp_path / "train.csv"), data_root=str(tmp_path),
+        random_sample=True, num_frames=4, sampling_rate=-1, spatial_size=32,
+        is_train=True))
+    frames, label, nte = ds[0]
+    # cropped to spatial_size BEFORE any augmentation — uint8, square
+    assert frames.shape == (4, 32, 32, 3) and frames.dtype == np.uint8
+    # and the device augment consumes exactly that cropped layout
+    aug = jax.jit(make_train_augment("rand-m5-n1", mirror=True,
+                                     mean=(0.45,) * 3, std=(0.225,) * 3))
+    out = np.asarray(aug(jax.random.PRNGKey(0), jnp.asarray(frames[None])))
+    assert out.shape == (1, 4, 32, 32, 3)
+
+
 def test_val_preprocess_float_order():
     """normalize -> resize -> crop must equal resize -> crop -> normalize
     (linearity), matching the reference op order (dataset.py:117-135)."""

@@ -60,7 +60,6 @@ def test_process_skeletons_and_save(tmp_path):
     assert len(result["vidname"]) == 4
     path = save_metadata(result, str(tmp_path / "tulip_basic_gparams.xlsx"))
     assert osp.isfile(path)
-    return path
 
 
 def test_enumerate_combinations():

@@ -12,8 +12,11 @@ from gava_clip_tpu.offline.video_prep import (annotations_to_csv,
                                               build_loso_folds,
                                               chunk_start_indices,
                                               convert_3cls_csv,
+                                              crop_frame_with_bbox,
+                                              crop_videos_with_bbox,
                                               cut_straight_segments,
                                               find_turning_points,
+                                              gold_standard_to_label,
                                               load_label_table,
                                               resize_videos,
                                               split_videos_into_chunks)
@@ -154,3 +157,65 @@ def test_class_distribution(tmp_path):
     assert dist["nfold"] == 2
     assert dist["updrs"] == {0: 2.0, 1: 2.0}
     assert dist["diag"] == {1: 4.0}
+
+
+def test_crop_frame_with_bbox_golden():
+    """Replicates the reference's inner crop math (train_utils.py:530-563):
+    clamp, zero-pad to square bottom/right, resize 256^2."""
+    import cv2
+    rs = np.random.RandomState(0)
+    frame = rs.randint(0, 255, (100, 120, 3), dtype=np.uint8)
+    for c_x, c_y, bs in [(60.0, 50.0, 0.3), (5.0, 5.0, 0.4), (115.0, 95.0, 0.5)]:
+        # reference math, transcribed
+        bsize = int(bs * 224 / 2)
+        x1, y1 = int(c_x) - bsize, int(c_y) - bsize
+        x2, y2 = int(c_x) + bsize, int(c_y) + bsize
+        x1, y1 = max(x1, 0), max(y1, 0)
+        y2, x2 = min(y2, frame.shape[0]), min(x2, frame.shape[1])
+        crop = frame[y1:y2, x1:x2]
+        w, h = x2 - x1, y2 - y1
+        if w > h:
+            crop = np.concatenate((crop, np.zeros((w - h, w, 3), np.uint8)), 0)
+        elif h > w:
+            crop = np.concatenate((crop, np.zeros((h, h - w, 3), np.uint8)), 1)
+        want = cv2.resize(crop, (256, 256))
+        got = crop_frame_with_bbox(frame, c_x, c_y, bs)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_crop_videos_with_bbox(tmp_path):
+    import pickle
+    vids = tmp_path / "vids"
+    vids.mkdir()
+    _write_video(vids / "Subject_1_Camera1.mp4", n=10, h=64, w=80)
+    bbox = {"Subject_1_Camera1_CC0": {
+        "bbox": np.array([[40.0, 30.0, 0.2]] * 4),
+        "frame_ids": np.array([0, 2, 4, 6])}}
+    with open(tmp_path / "bbox.pkl", "wb") as f:
+        pickle.dump(bbox, f)
+    outs = crop_videos_with_bbox(str(vids), str(tmp_path / "bbox.pkl"),
+                                 str(tmp_path / "out"), out_size=64)
+    assert len(outs) == 1 and osp.isfile(outs[0])
+    from gava_clip_tpu.data.video import decode_frames
+    frames = decode_frames(outs[0])
+    assert frames.shape == (4, 64, 64, 3)
+
+
+def test_gold_standard_to_label(tmp_path):
+    import pandas as pd
+    vids = tmp_path / "vids"
+    vids.mkdir()
+    for name in ("Subject_2_Camera1.mp4", "Subject_1_Camera1.mp4",
+                 "Subject_1_Camera2.mp4"):
+        (vids / name).touch()
+    with open(tmp_path / "gait_label.csv", "w", newline="") as f:
+        csv.writer(f).writerows([
+            ["Subject", "gold_standard", "diag"],
+            [1, 2, "HT"], [2, 1, "PD"]])
+    out = gold_standard_to_label(str(tmp_path / "gait_label.csv"), str(vids),
+                                 str(tmp_path / "labels.xlsx"))
+    table = load_label_table(out)
+    # sorted by int(subject + camera): 11, 12, 21
+    assert table == {"Subject_1_Camera1": (0, 2),
+                     "Subject_1_Camera2": (0, 2),
+                     "Subject_2_Camera1": (1, 1)}
