@@ -24,6 +24,7 @@ relay whose `block_until_ready` can return before execution finishes
 form counts pure device time and one relay round-trip.
 """
 
+import argparse
 import json
 import os
 import time
@@ -43,15 +44,103 @@ def vit_flops_per_clip(T=8, img=224, patch=16, depth=12, width=768,
     return T * (depth * per_layer + patch_embed) + summary
 
 
+def flagship_train_flops(B=4, T=70, n_cls=3, n_kv=5) -> float:
+    """Analytic FLOPs per flagship train step, 3x-forward convention
+    (forward + input grads + weight grads counted as if all params train —
+    the same convention is applied to the GPU estimate, so the ratio is
+    insensitive to the convention). Vision tower per clip + the batched
+    (n_cls*n_kv, 77) text tower the KAPT path re-encodes every step."""
+    vision = B * vit_flops_per_clip(T=T)
+    W, L, depth, mlp = 512, 77, 12, 4
+    per_tok = 4 * W * W * 2 + 2 * L * W * 2 + 2 * W * mlp * W * 2
+    text = n_cls * n_kv * L * depth * per_tok
+    return 3.0 * (vision + text)
+
+
+def main_train(steps: int = 20):
+    """Train-step bench (VERDICT r2 #3): one JSON line with ms/step at the
+    flagship shape (B=4, T=70 — train_scripts/updrs_3cls_train_tulip.sh),
+    TFLOP-equiv/s, and the vs-GPU analytic estimate at the same 45%-MFU
+    convention as the inference bench."""
+    import jax
+    import jax.numpy as jnp
+    from gava_clip_tpu.models.vita_clip import trainable_mask
+    from gava_clip_tpu.train.state import create_train_state, make_optimizer
+    from gava_clip_tpu.train.step import LossConfig, make_train_step
+    from gava_clip_tpu.utils.flagship import build_flagship
+
+    B, T = 4, 70
+    model = build_flagship(num_frames=T)
+    mask = trainable_mask(model.params, model.cfg)
+    opt = make_optimizer(lr=5e-6, num_steps=2000, weight_decay=0.2)
+    loss_cfg = LossConfig(num_classes=3, focal_ordinal=True, fo_beta=0.2,
+                          use_support_memory=True, add_nte=True)
+    rs = np.random.RandomState(0)
+    batch = {k: jnp.asarray(v) for k, v in {
+        "video": rs.rand(B, T, 224, 224, 3).astype(np.float32),
+        "labels": rs.randint(0, 3, size=B),
+        "nte": rs.randn(B, 70, 512).astype(np.float32),
+        "memory": rs.randn(64, 4, 512).astype(np.float32),
+        "mt_labels": rs.randint(0, 3, size=64)}.items()}
+    state = jax.tree_util.tree_map(jnp.asarray, create_train_state(
+        model.params, mask, opt))
+    jax.block_until_ready(state.trainable)
+    attn = "flash" if jax.default_backend() == "tpu" else "xla"
+    step = make_train_step(model, loss_cfg, opt, compute_dtype=jnp.bfloat16,
+                           attn_impl=attn, remat="full", donate=True)
+    t0 = time.time()
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total"])
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(steps):
+        t0 = time.time()
+        state, metrics = step(state, batch)
+        jax.block_until_ready(metrics["total"])
+        times.append(time.time() - t0)
+    med_ms = float(np.median(times)) * 1e3
+    flops = flagship_train_flops(B=B, T=T)
+    ref_ms = flops / (0.45 * 91e12) * 1e3
+    spread = (max(times) - min(times)) / np.median(times)
+    extra = {
+        "batch": B, "frames": T, "remat": "full", "donate": True,
+        "clips_per_sec": round(B / med_ms * 1e3, 2),
+        "achieved_tflops_equiv": round(flops / med_ms / 1e9, 1),
+        "flops_per_step_t": round(flops / 1e12, 2),
+        "flops_convention": "3x forward (fwd + dx + dw), both sides",
+        "ref_estimate_ms": round(ref_ms, 1),
+        "compile_s": round(compile_s, 1),
+        "min_ms": round(min(times) * 1e3, 1),
+        "max_ms": round(max(times) * 1e3, 1),
+        "device": str(jax.devices()[0]),
+    }
+    if spread > 1.0:
+        extra["warning"] = ("high step variance — tunnel may be degraded "
+                            "(CLAUDE.md); healthy-state ~305 ms")
+    print(json.dumps({
+        "metric": "train ms/step (flagship ViT-B/16, B=4, T=70, full loss)",
+        "value": round(med_ms, 1),
+        "unit": "ms",
+        "vs_baseline": round(ref_ms / med_ms, 3),
+        "extra": extra,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from gava_clip_tpu.ops.quant import quantize_tower_params
-    from gava_clip_tpu.utils.flagship import build_zero_shot
+    from gava_clip_tpu.utils.flagship import (build_zero_shot,
+                                              inject_clip_pathologies)
 
     T, B = 8, 8  # B=8 measured optimal on v5e for both modes
     ITERS = 100  # long chain amortizes the ~30 ms relay round-trip to <0.1 ms/iter
     model = build_zero_shot(num_frames=T, num_classes=400)
+    # the w8a8 accuracy gate is measured on CLIP-pathology weights (LN-gain
+    # activation-outlier channels + heavy-tailed weight rows — the documented
+    # int8 failure modes), not a friendly N(0, 0.02) init; perf is identical
+    # (value-independent) so the same params serve both measurements
+    base_params = inject_clip_pathologies(model.params)
     buffers = jax.device_put(model.buffers, jax.devices()[0])
     attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
     scan_unroll = int(os.environ.get("GAVA_SCAN_UNROLL", "12"))
@@ -63,9 +152,9 @@ def main():
 
     # ship weights as bf16 (halves tunnel bytes) and commit to device ONCE
     # (uncommitted numpy args re-transfer every call)
-    params_bf16 = jax.device_put(cast_bf16(model.params), jax.devices()[0])
+    params_bf16 = jax.device_put(cast_bf16(base_params), jax.devices()[0])
     params_w8a8 = jax.device_put(
-        cast_bf16(quantize_tower_params(model.params, act_quant=True)),
+        cast_bf16(quantize_tower_params(base_params, act_quant=True)),
         jax.devices()[0])
 
     def forward_fn(params, video):
@@ -162,6 +251,8 @@ def main():
         "w8a8_prob_delta_vs_bf16": (None if prob_delta is None
                                     else round(prob_delta, 4)),
         "w8a8_accuracy_gate": "pass" if w8a8_ok else "FAIL",
+        "w8a8_gate_weights": "synthetic + CLIP pathologies (LN-gain outlier "
+                             "channels, heavy-tailed weight rows)",
         "p50_latency_ms_b1": round(p50_ms, 2),
         "device_latency_ms_b1_bf16": round(dev_lat_ms, 2),
         "batch": B,
@@ -188,4 +279,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the flagship train step instead of "
+                         "zero-shot inference")
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+    if args.train:
+        main_train(steps=args.steps)
+    else:
+        main()

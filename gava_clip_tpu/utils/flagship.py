@@ -84,6 +84,70 @@ def build_flagship(num_frames: int = 8,
                     rng=jax.random.PRNGKey(rng_seed))
 
 
+def inject_clip_pathologies(params, seed: int = 0,
+                            ln_outlier_frac: float = 0.04,
+                            ln_outlier_scale: float = 8.0,
+                            w_heavy_frac: float = 0.02,
+                            w_heavy_scale: float = 16.0):
+    """Give a synthetic tower the int8 failure modes of real CLIP weights.
+
+    Real CLIP towers are not N(0, 0.02): they carry (a) a few activation
+    outlier channels — LayerNorm gains an order of magnitude above the
+    median, which blow up per-token activation scales (the documented
+    w8a8 failure mode), and (b) heavy-tailed weight rows that inflate
+    per-output-channel weight scales. This mutates a vision-tower pytree
+    in the same two ways so the quantization accuracy gate is measured on
+    outlier-bearing weights instead of a friendly Gaussian
+    (VERDICT r2 #2; reference math protected:
+    training/VitaCLIP_model.py:296-306).
+
+    Returns a new pytree (input is not mutated).
+    """
+    import jax
+
+    rs = np.random.RandomState(seed)
+
+    def boost_channels(x, frac, scale):
+        x = np.array(x, np.float32, copy=True)
+        flat = x.reshape(-1, x.shape[-1])
+        n = max(1, int(round(x.shape[-1] * frac)))
+        for row in flat:
+            idx = rs.choice(x.shape[-1], n, replace=False)
+            row[idx] *= scale
+        return x.reshape(x.shape)
+
+    def heavy_rows(k, frac, scale):
+        # stacked (L, in, out) or (in, out) kernels: scale a sparse set of
+        # input rows (inflates every output channel's absmax)
+        k = np.array(k, np.float32, copy=True)
+        stk = k.reshape((-1,) + k.shape[-2:])
+        n = max(1, int(round(stk.shape[1] * frac)))
+        for layer in stk:
+            idx = rs.choice(layer.shape[0], n, replace=False)
+            layer[idx] *= scale
+        return k.reshape(k.shape)
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    visual = {k: v for k, v in params["visual"].items()}
+    blocks = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in visual["blocks"].items()}
+    for ln in ("norm1", "norm2"):
+        blocks[ln] = dict(blocks[ln])
+        blocks[ln]["scale"] = boost_channels(blocks[ln]["scale"],
+                                             ln_outlier_frac, ln_outlier_scale)
+    for mod, names in (("attn", ("q", "k", "v", "out")),
+                       ("mlp", ("fc1", "fc2"))):
+        blocks[mod] = {k: (dict(v) if isinstance(v, dict) else v)
+                       for k, v in blocks[mod].items()}
+        for nm in names:
+            blocks[mod][nm] = dict(blocks[mod][nm])
+            blocks[mod][nm]["kernel"] = heavy_rows(
+                blocks[mod][nm]["kernel"], w_heavy_frac, w_heavy_scale)
+    visual["blocks"] = blocks
+    params["visual"] = visual
+    return params
+
+
 def build_zero_shot(num_frames: int = 8, num_classes: int = 400,
                     input_size: int = 224,
                     text_features: Optional[np.ndarray] = None,

@@ -166,3 +166,34 @@ def test_fused_int8_out_projection_matches_composition():
     want = ((aq @ np.asarray(wq, np.int32)).astype(np.float32) * xs
             * np.asarray(sc) + np.asarray(b) + np.asarray(r, np.float32))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_clamp_monitor_detects_drift():
+    """The opt-in drift monitor (ADVICE r2): records the exact max exp2
+    argument and flags logits past the saturating clamp at 110."""
+    import jax
+    import jax.numpy as jnp
+    from gava_clip_tpu.ops import flash_attention as FA
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(2, 16, 32).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, 16, 32).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, 16, 32).astype(np.float32))
+    FA.enable_clamp_monitor(True)
+    try:
+        jax.jit(lambda a, b, c: FA.flash_attention(a, b, c, num_heads=2))(
+            q, k, v).block_until_ready()
+        assert FA.clamp_stats["calls"] >= 1
+        assert not FA.clamp_stats["clipped"]
+        small_max = FA.clamp_stats["max_exp2_arg"]
+        assert 0 < small_max < FA._CLAMP_LIMIT
+
+        FA.enable_clamp_monitor(True)  # reset stats
+        jax.jit(lambda a, b, c: FA.flash_attention(a, b, c, num_heads=2))(
+            q * 40.0, k * 40.0, v).block_until_ready()
+        assert FA.clamp_stats["clipped"]
+        assert FA.clamp_stats["max_exp2_arg"] >= FA._CLAMP_LIMIT
+    finally:
+        FA.enable_clamp_monitor(False)
+    # monitor off: stats stay reset
+    FA.flash_attention(q, k, v, num_heads=2)
+    assert FA.clamp_stats["calls"] == 0

@@ -115,3 +115,108 @@ def test_five_step_loss_trajectory_matches_reference(ref_env, add_losses):
         np.testing.assert_allclose(np.asarray(got_p),
                                    want_p.detach().numpy(),
                                    rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# long-horizon convergence equivalence (VERDICT r2 #4)
+# ---------------------------------------------------------------------------
+
+CONV_STEPS = 120
+CONV_LR = 2e-3
+
+
+def _separable_batches(rs, n, batch=4, protos=None):
+    """Synthetic visually-separable data: each class is a fixed low-res color
+    prototype upsampled to 32x32 plus noise. Pass the same `protos` for
+    train/eval so both draw from one distribution."""
+    if protos is None:
+        protos = rs.rand(N_CLS, 1, 8, 8, 3).astype(np.float32)
+
+    def clip_for(label):
+        base = np.kron(protos[label], np.ones((4, 4, 4, 1), np.float32))
+        return base + rs.randn(4, 32, 32, 3).astype(np.float32) * 0.08
+
+    out = []
+    for i in range(n):
+        labels = np.array([(i + j) % N_CLS for j in range(batch)], np.int64)
+        out.append({"video": np.stack([clip_for(l) for l in labels]),
+                    "labels": labels})
+    return out
+
+
+def test_long_horizon_convergence_matches_reference(ref_env):
+    """~120 AdamW+cosine steps on separable synthetic data: the torch
+    reference loop and our jitted step, from converted-identical init, must
+    track each other's loss curve and reach the same train accuracy — the
+    best available proxy for TULIP top-1 parity without the dataset
+    (reference loop: training/train.py:396-494)."""
+    import torch
+    ref, model, params = _build_models(ref_env, support_memory=False,
+                                       add_nte=False)
+    rs = np.random.RandomState(23)
+    protos = rs.rand(N_CLS, 1, 8, 8, 3).astype(np.float32)
+    batches = _separable_batches(rs, CONV_STEPS, protos=protos)
+    eval_batches = _separable_batches(np.random.RandomState(99), 6,
+                                      protos=protos)
+
+    # --- torch trajectory
+    ref.train()
+    optimizer = torch.optim.AdamW(ref.parameters(), lr=CONV_LR,
+                                  weight_decay=WD)
+    lr_sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        optimizer, T_max=CONV_STEPS)
+    criterion = torch.nn.CrossEntropyLoss()
+    want_losses = []
+    for b in batches:
+        optimizer.zero_grad(set_to_none=True)
+        logits, _, _ = ref(torch.from_numpy(b["video"].transpose(0, 4, 1, 2, 3)))
+        loss = criterion(logits, torch.from_numpy(b["labels"]))
+        loss.backward()
+        optimizer.step()
+        lr_sched.step()
+        want_losses.append(float(loss.detach()))
+    ref.eval()
+    hits = tot = 0
+    with torch.no_grad():
+        for b in eval_batches:
+            logits, _, _ = ref(
+                torch.from_numpy(b["video"].transpose(0, 4, 1, 2, 3)))
+            hits += int((logits.argmax(-1).numpy() == b["labels"]).sum())
+            tot += len(b["labels"])
+    acc_torch = hits / tot
+
+    # --- our trajectory
+    from gava_clip_tpu.models.vita_clip import trainable_mask
+    from gava_clip_tpu.train.state import create_train_state, make_optimizer
+    from gava_clip_tpu.train.step import LossConfig, make_train_step
+    opt = make_optimizer(CONV_LR, CONV_STEPS, weight_decay=WD)
+    state = create_train_state(params, trainable_mask(params, model.cfg), opt)
+    step = make_train_step(model, LossConfig(num_classes=N_CLS), opt,
+                           donate=False)
+    got_losses = []
+    for b in batches:
+        state, metrics = step(state, jax.tree_util.tree_map(jnp.asarray, b))
+        got_losses.append(float(metrics["total"]))
+    from gava_clip_tpu.train.state import combine_params
+    eval_params = combine_params(state.trainable, state.frozen)
+    hits = tot = 0
+    for b in eval_batches:
+        out = model.apply(eval_params, model.buffers, jnp.asarray(b["video"]))
+        hits += int((np.asarray(out["logits"]).argmax(-1) == b["labels"]).sum())
+        tot += len(b["labels"])
+    acc_ours = hits / tot
+
+    want, got = np.asarray(want_losses), np.asarray(got_losses)
+    # early steps: still numerically tight (divergence hasn't compounded)
+    np.testing.assert_allclose(got[:10], want[:10], rtol=2e-2, atol=2e-2)
+    # long horizon: smoothed curves track (fp32 nondeterminism across stacks
+    # compounds chaotically per-step, so compare 10-step moving averages)
+    kern = np.ones(10) / 10
+    sw = np.convolve(want, kern, mode="valid")
+    sg = np.convolve(got, kern, mode="valid")
+    assert np.abs(sw - sg).max() < 0.25, np.abs(sw - sg).max()
+    # both converge: final-window loss well below the initial loss
+    assert sg[-1] < 0.35 * got[0] and sw[-1] < 0.35 * want[0], (sg[-1], sw[-1])
+    # and reach the same accuracy on held-out separable data
+    assert acc_torch >= 0.9 and acc_ours >= 0.9, (acc_torch, acc_ours)
+    assert abs(acc_torch - acc_ours) <= 0.1, (acc_torch, acc_ours)
