@@ -181,7 +181,8 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
     step_fn = make_train_step(model, loss_cfg, optimizer,
                               batch_split=args.batch_split,
                               compute_dtype=compute_dtype,
-                              attn_impl=attn_impl, remat=remat, donate=True)
+                              attn_impl=attn_impl, remat=remat, donate=True,
+                              frozen_int8=getattr(args, "int8_frozen", False))
 
     # data-parallel mesh over all local devices: params replicated, batches
     # sharded on 'data'; XLA inserts the gradient all-reduce (SURVEY.md §2.6)

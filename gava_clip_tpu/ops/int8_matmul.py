@@ -13,6 +13,8 @@ VMEM).
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -153,6 +155,54 @@ def int8_dynamic_linear(params, x: jax.Array) -> jax.Array:
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
+
+
+# ---------------------------------------------------------------------------
+# frozen-weight int8 training: int8 MXU forward, bf16 straight-through
+# backward for dx. The weights carrying this path are FROZEN (the CLIP
+# backbone — reference freeze rule VitaCLIP_model.py:230-239), so no dw is
+# ever needed; the only cotangent is dx = dy @ dequant(W)^T, computed against
+# the dequantized bf16 weights (the same W the quantized forward represents).
+# Under remat the recomputed forward also runs at the int8 rate.
+# ---------------------------------------------------------------------------
+
+
+def _int8_linear_impl(x, qa, scale, bias):
+    x2 = x.reshape(-1, x.shape[-1])
+    if jax.default_backend() == "tpu":
+        y = w8a8_matmul(x2, qa, scale, bias=bias)
+    else:
+        xq, xs = quantize_act(x2)
+        y = int8_apply({"qa": qa, "scale": scale}, xq, xs, bias=bias,
+                       out_dtype=x.dtype)
+    return y.reshape(x.shape[:-1] + (qa.shape[-1],))
+
+
+@jax.custom_vjp
+def int8_linear_st(x, qa, scale, bias):
+    """w8a8 linear with a straight-through backward: forward = per-token act
+    quant + int8 MXU GEMM; backward = dx only (dy @ dequant(W)^T in the
+    cotangent dtype). Intended for frozen weights ('qt' leaves from
+    ops.quant.quantize_frozen_for_train) — their own cotangents are zero."""
+    return _int8_linear_impl(x, qa, scale, bias)
+
+
+def _int8_st_fwd(x, qa, scale, bias):
+    return _int8_linear_impl(x, qa, scale, bias), (qa, scale, bias)
+
+
+def _int8_st_bwd(res, g):
+    qa, scale, bias = res
+    w = qa.astype(g.dtype) * scale.astype(g.dtype)          # (K, N)
+    g2 = g.reshape(-1, g.shape[-1])
+    dx = (g2 @ w.T).reshape(g.shape[:-1] + (qa.shape[0],))
+    d_qa = np.zeros(qa.shape, jax.dtypes.float0)            # int primal
+    d_scale = jnp.zeros_like(scale)
+    d_bias = None if bias is None else jnp.zeros_like(bias)
+    return dx, d_qa, d_scale, d_bias
+
+
+int8_linear_st.defvjp(_int8_st_fwd, _int8_st_bwd)
 
 
 def _pick_bn(Np: int, cap: int = 1024) -> int:

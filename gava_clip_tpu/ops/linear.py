@@ -12,6 +12,12 @@ import jax.numpy as jnp
 
 def linear(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     kernel = params["kernel"]
+    if isinstance(kernel, dict) and "qt" in kernel:
+        # frozen-int8 training leaf ({'qt','scale'}): int8 MXU forward with a
+        # straight-through bf16 backward for dx (frozen weights need no dw)
+        from .int8_matmul import int8_linear_st
+        return int8_linear_st(x, kernel["qt"], kernel["scale"],
+                              params.get("bias"))
     if isinstance(kernel, dict) and "qa" in kernel:
         # w8a8 leaf ({'qa','scale'}): dynamic per-token activation quant +
         # int8 MXU GEMM (throughput serving mode)

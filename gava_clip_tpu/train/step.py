@@ -73,17 +73,29 @@ def compute_losses(outputs: Dict, labels: jax.Array,
 def make_train_step(model, loss_cfg: LossConfig, optimizer,
                     batch_split: int = 1, compute_dtype=jnp.float32,
                     attn_impl: str = "xla", remat="none",
-                    donate: bool = True):
+                    donate: bool = True, frozen_int8: bool = False):
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
     remat: False/"none" | True/"full" | "dots" — vision-tower
     rematerialization policy (see models/vision.py).
+
+    frozen_int8: run the FROZEN projection kernels (the CLIP backbone —
+    reference freeze rule VitaCLIP_model.py:230-239) as int8 MXU GEMMs in
+    the forward (and the remat recompute), with a straight-through bf16
+    backward for dx. Weights are re-quantized from the frozen bf16 tree
+    inside the step (one absmax pass); trainable params are untouched, so
+    optimizer math is exact. A documented training-dynamics deviation
+    (per-token activation quantization in the forward) — gated by
+    tests/test_train_step.py::test_frozen_int8_trains_close_to_bf16.
 
     batch = {'video': (B,T,H,W,3), 'labels': (B,), 'nte': (B,70,E)?,
              'memory': (Bm,S,E)?, 'mt_labels': (Bm,)?}
     """
 
     def loss_fn(trainable, frozen, batch):
+        if frozen_int8:
+            from ..ops.quant import quantize_frozen_for_train
+            frozen = quantize_frozen_for_train(frozen)
         params = combine_params(trainable, frozen)
         outputs = model.apply(params, model.buffers, batch["video"],
                               memory=batch.get("memory"),

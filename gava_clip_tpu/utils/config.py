@@ -151,6 +151,13 @@ def setup_train_args(parser: argparse.ArgumentParser):
                         help='on a non-finite loss, roll back to the last '
                              'checkpoint and continue (failure detection; '
                              'the reference has none, SURVEY.md §5)')
+    parser.add_argument('--int8_frozen', action='store_true',
+                        help='run the frozen CLIP backbone projections as '
+                             'int8 MXU GEMMs in the train forward (straight-'
+                             'through bf16 backward for dx; frozen weights '
+                             'need no dw). Faster training on TPU; a '
+                             'documented dynamics deviation, gated by a '
+                             'convergence-closeness test')
     parser.add_argument('--debug_attn_clamp', action='store_true',
                         help='monitor the flash-attention exp2-clamp: '
                              'recompute the exact max scaled logit outside '

@@ -193,3 +193,53 @@ def test_init_shapes_match_converted(reference_modules):
     fresh_t = init_text_params(jax.random.PRNGKey(1), tcfg)
     assert set(fresh_t.keys()) == {"token_embedding", "positional_embedding",
                                    "blocks", "ln_final", "text_projection"}
+
+
+def test_patch_major_input_matches_frames():
+    """input_format='patches' (host patchify + GEMM embed) must match the
+    frames conv path exactly — same math, different layout."""
+    import jax
+    import jax.numpy as jnp
+    from gava_clip_tpu.models.vision import (VisionConfig, init_vision_params,
+                                             patchify, vision_encoder)
+    cfg = VisionConfig(input_size=(32, 32), num_frames=2, feature_dim=32,
+                       patch_size=(16, 16), heads=2, layers=2,
+                       mlp_factor=2.0, embed_dim=16,
+                       use_summary_token=True, use_local_prompts=True,
+                       use_global_prompts=True, num_global_prompts=2)
+    params = init_vision_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    video = jnp.asarray(rs.rand(2, 2, 32, 32, 3).astype(np.float32))
+    f_feat, f_sum = vision_encoder(params, video, cfg)
+    p_feat, p_sum = vision_encoder(params, patchify(video, cfg.patch_size),
+                                   cfg, input_format="patches")
+    np.testing.assert_allclose(np.asarray(p_feat), np.asarray(f_feat),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_sum), np.asarray(f_sum),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_patch_major_w8a8_sidecar():
+    """quantize_tower_params(act_quant=True) adds an int8 sidecar for the
+    patch embed without touching the conv kernel; the patches path stays
+    close to fp on it."""
+    import jax
+    import jax.numpy as jnp
+    from gava_clip_tpu.models.vision import (VisionConfig, init_vision_params,
+                                             patchify, vision_encoder)
+    from gava_clip_tpu.ops.quant import quantize_tower_params
+    cfg = VisionConfig(input_size=(32, 32), num_frames=2, feature_dim=32,
+                       patch_size=(16, 16), heads=2, layers=2,
+                       mlp_factor=2.0, embed_dim=16)
+    params = {"visual": init_vision_params(jax.random.PRNGKey(0), cfg)}
+    qp = quantize_tower_params(params, act_quant=True)
+    pe = qp["visual"]["patch_embed"]
+    assert not isinstance(pe["kernel"], dict)           # conv path untouched
+    assert set(pe["kernel_q8"].keys()) == {"qa", "scale"}
+    rs = np.random.RandomState(1)
+    video = jnp.asarray(rs.rand(1, 2, 32, 32, 3).astype(np.float32))
+    ref_feat, _ = vision_encoder(params["visual"], video, cfg)
+    q_feat, _ = vision_encoder(qp["visual"], patchify(video, cfg.patch_size),
+                               cfg, input_format="patches")
+    np.testing.assert_allclose(np.asarray(q_feat), np.asarray(ref_feat),
+                               atol=0.05)

@@ -139,3 +139,45 @@ def test_train_step_on_8_device_mesh(tmp_path):
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["total"]))
     assert int(state.step) == 1
+
+
+def test_frozen_int8_trains_close_to_bf16(tmp_path):
+    """--int8_frozen gate: int8-forward training (straight-through dx) must
+    track the exact-fp train step — same loss trajectory within a small
+    tolerance and same prediction after a few steps. Frozen weights get no
+    dw either way, so only the forward/dx precision differs."""
+    import jax
+    import jax.numpy as jnp
+    from gava_clip_tpu.models.vita_clip import trainable_mask
+    from gava_clip_tpu.train.state import (combine_params, create_train_state,
+                                           make_optimizer)
+    from gava_clip_tpu.train.step import LossConfig, make_train_step
+
+    model = _tiny_model(tmp_path, support_memory=False, add_nte=False)
+    mask = trainable_mask(model.params, model.cfg)
+    opt = make_optimizer(1e-3, 10, weight_decay=0.2)
+    cfg = LossConfig(num_classes=3)
+    rs = np.random.RandomState(5)
+    batches = [{"video": jnp.asarray(rs.rand(2, 2, 32, 32, 3)
+                                     .astype(np.float32)),
+                "labels": jnp.asarray([i % 3, (i + 1) % 3])}
+               for i in range(8)]
+
+    trajs = {}
+    finals = {}
+    for name, fi in (("fp", False), ("int8", True)):
+        state = create_train_state(model.params, mask, opt)
+        step = make_train_step(model, cfg, opt, donate=False, frozen_int8=fi)
+        losses = []
+        for b in batches:
+            state, m = step(state, b)
+            losses.append(float(m["total"]))
+        trajs[name] = losses
+        finals[name] = combine_params(state.trainable, state.frozen)
+
+    np.testing.assert_allclose(trajs["int8"], trajs["fp"], rtol=0.06,
+                               atol=0.05)
+    # trainable updates stay close (grads flow through the int8 forward)
+    tp = np.asarray(finals["fp"]["visual"]["time_embed"])
+    tq = np.asarray(finals["int8"]["visual"]["time_embed"])
+    np.testing.assert_allclose(tq, tp, atol=5e-3)
