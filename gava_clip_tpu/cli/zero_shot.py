@@ -15,7 +15,6 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..data.device_preprocess import normalize_frames
 from ..data.loader import create_eval_loader
 from ..data.video import parse_classes_file
 from ..models.text import TextConfig, encode_text_tokens
@@ -121,33 +120,22 @@ def main(argv=None):
     params = prepare_inference_params(
         params, getattr(args, "quantize_eval", ""), compute_dtype)
 
-    @jax.jit
-    def forward(params, video_u8):
-        video = normalize_frames(video_u8, mean, std)
-        out = model.apply(params, model.buffers, video,
-                          compute_dtype=compute_dtype, attn_impl=attn_impl)
-        return jnp.argmax(out["logits"], axis=-1)
+    # mesh-sharded eval through the jitted confusion-matrix step (device-
+    # side accumulation; the batch einsum is the cross-device reduction)
+    mesh = None
+    if jax.device_count() > 1 and args.batch_size % jax.device_count() == 0:
+        from ..parallel.mesh import create_mesh, replicate
+        mesh = create_mesh()
+        params = replicate(params, mesh)
+        _log(f"eval data-parallel over {mesh.size} devices")
 
+    from .train import evaluate as _evaluate
     lcfg = loader_config_from_args(args)
     loader = create_eval_loader(lcfg)
-    conf = np.zeros((num_classes, num_classes), np.int64)
-    tot = hit1 = 0
-    for batch in loader:
-        video = batch["video"]
-        n = video.shape[0]
-        if n < args.batch_size:
-            video = np.concatenate(
-                [video, np.repeat(video[-1:], args.batch_size - n, axis=0)])
-        preds = np.asarray(forward(params, jnp.asarray(video)))[:n]
-        labels = np.asarray(batch["labels"])[:n]
-        np.add.at(conf, (labels, preds), 1)
-        tot += n
-        hit1 += int((preds == labels).sum())
-        if tot % 20 == 0:
-            _log(f"[Evaluation] num_samples: {tot}  "
-                 f"cumulative_acc1: {hit1 / tot * 100.:.2f}%")
-
-    performance = hit1 / max(tot, 1)
+    acc, conf = _evaluate(model, params, loader, num_classes, mean, std,
+                          compute_dtype, args.batch_size,
+                          attn_impl=attn_impl, mesh=mesh)
+    performance = acc / 100.0
     _log(f"Evaluation accuracy: top1={performance * 100:.2f}%")
 
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -40,3 +40,36 @@ def test_train_driver_data_parallel(tmp_path, monkeypatch):
     ])
     logdir = os.path.join("logs", os.listdir("logs")[0])
     assert os.path.isfile(os.path.join(logdir, "results.txt"))
+
+
+def test_mesh_sharded_evaluate_matches_unsharded(tmp_path):
+    """evaluate() with a data mesh must produce the identical confusion
+    matrix and accuracy as the single-device path — the device-side einsum
+    performs the reference's all_reduce(conf_mat) under GSPMD
+    (train.py:531-534), and padding rows are masked on every shard."""
+    import jax
+    import jax.numpy as jnp
+    from gava_clip_tpu.cli.train import evaluate
+    from gava_clip_tpu.parallel.mesh import create_mesh, replicate
+    from tests.test_train_step import _tiny_model
+
+    model = _tiny_model(tmp_path, support_memory=False, add_nte=False)
+    rs = np.random.RandomState(0)
+
+    # 3 batches, the last one short (exercises the pad+valid-mask path)
+    def loader():
+        for n in (8, 8, 5):
+            yield {"video": rs.randint(0, 255, (n, 2, 32, 32, 3), np.uint8),
+                   "labels": rs.randint(0, 3, size=n).astype(np.int32)}
+
+    mean, std = (0.45,) * 3, (0.225,) * 3
+    acc0, conf0 = evaluate(model, model.params, loader(), 3, mean, std,
+                           jnp.float32, batch_size=8)
+    mesh = create_mesh(8)
+    params = replicate(model.params, mesh)
+    rs = np.random.RandomState(0)  # same data again
+    acc1, conf1 = evaluate(model, params, loader(), 3, mean, std,
+                           jnp.float32, batch_size=8, mesh=mesh)
+    assert acc0 == acc1
+    np.testing.assert_array_equal(conf0, conf1)
+    assert conf0.sum() == 21
