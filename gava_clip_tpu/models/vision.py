@@ -246,6 +246,24 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str):
             attn = attention_core(qp[:, :Lx], kp, vp, cfg.heads,
                                   impl=attn_impl)
             x = x + linear(p["attn"]["out"], attn)
+    elif isinstance(k_q, dict) and "qt" in k_q:
+        # frozen-int8 TRAINING path: the fused inference qkv kernel for the
+        # forward with a hand-written dx-only backward (the LN params and
+        # int8 weights are frozen); attention + out-proj stay on their
+        # differentiable implementations
+        from ..ops.attention import attention_core
+        from ..ops.int8_matmul import int8_qkv3_st
+        a = p["attn"]
+        kv2 = kv.reshape(-1, D)
+        outs = int8_qkv3_st(
+            kv2, a["q"]["kernel"]["qt"], a["k"]["kernel"]["qt"],
+            a["v"]["kernel"]["qt"], a["q"]["kernel"]["scale"],
+            a["k"]["kernel"]["scale"], a["v"]["kernel"]["scale"],
+            a["q"]["bias"], a["k"]["bias"], a["v"]["bias"],
+            p["norm1"]["scale"], p["norm1"]["bias"])
+        qp, kp, vp = (o.reshape(kv.shape) for o in outs)
+        attn = attention_core(qp[:, :Lx], kp, vp, cfg.heads, impl=attn_impl)
+        x = x + linear(p["attn"]["out"], attn)
     else:
         kv_n = layer_norm(kv, p["norm1"]["scale"], p["norm1"]["bias"])
         x = x + multi_head_attention(p["attn"], kv_n[:, :Lx], kv_n, kv_n,

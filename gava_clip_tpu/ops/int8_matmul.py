@@ -205,6 +205,118 @@ def _int8_st_bwd(res, g):
 int8_linear_st.defvjp(_int8_st_fwd, _int8_st_bwd)
 
 
+# --- fused differentiable blocks (frozen LN + int8 GEMMs, hand VJP) --------
+#
+# The unfused qt composition (separate XLA LayerNorm + one Pallas call per
+# GEMM + XLA QuickGELU) measured SLOWER than bf16 at the flagship train
+# shape: each Pallas call is an opaque fusion barrier, so the activations
+# make extra HBM round trips that cost more than the int8 MXU rate saves —
+# and remat=full doubles the forward, doubling the loss. These two ops reuse
+# the FUSED inference kernels (w8a8_matmul3, w8a8_mlp_res — LN + quant +
+# int8 GEMMs + GELU + residual in VMEM) for the forward and hand-write the
+# backward. Frozen-backbone assumption: the LayerNorm scale/bias and the
+# int8 weights carry NO cotangents (reference freeze rule
+# VitaCLIP_model.py:230-239) — only dx (and the residual) flow back.
+
+
+def _f0(x):
+    return np.zeros(x.shape, jax.dtypes.float0) if \
+        jnp.issubdtype(x.dtype, jnp.integer) else jnp.zeros_like(x)
+
+
+def _ln_stats(x32, eps=1e-5):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    return (x32 - mean) * inv, inv
+
+
+def _ln_bwd_input(g_n, xhat, inv, gamma):
+    """dx of y = gamma * xhat + beta wrt x, gamma/beta constant."""
+    g = g_n * gamma
+    return inv * (g - jnp.mean(g, axis=-1, keepdims=True)
+                  - xhat * jnp.mean(g * xhat, axis=-1, keepdims=True))
+
+
+def _quick_gelu_grad(h):
+    s = jax.nn.sigmoid(1.702 * h)
+    return s + h * 1.702 * s * (1.0 - s)
+
+
+@jax.custom_vjp
+def int8_qkv3_st(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, ln_s, ln_b):
+    """Differentiable fused LN + shared-quant triple int8 GEMM (q/k/v).
+
+    Forward = w8a8_matmul3 (one VMEM pass); backward = dx only:
+    dn = sum_i dO_i @ W_i^T through the LayerNorm input formula."""
+    outs = w8a8_matmul3(x, (wq, wk, wv), (sq, sk, sv), bias3=(bq, bk, bv),
+                        ln=(ln_s, ln_b))
+    return tuple(outs)
+
+
+def _qkv3_fwd(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, ln_s, ln_b):
+    outs = int8_qkv3_st(x, wq, wk, wv, sq, sk, sv, bq, bk, bv, ln_s, ln_b)
+    return outs, (x, wq, wk, wv, sq, sk, sv, bq, bk, bv, ln_s, ln_b)
+
+
+def _qkv3_bwd(res, g):
+    x, wq, wk, wv, sq, sk, sv, bq, bk, bv, ln_s, ln_b = res
+    gq, gk, gv = g
+    dn = None
+    for gi, w, s in ((gq, wq, sq), (gk, wk, sk), (gv, wv, sv)):
+        wf = w.astype(gi.dtype) * s.astype(gi.dtype)
+        d = gi @ wf.T
+        dn = d if dn is None else dn + d
+    xhat, inv = _ln_stats(x.astype(jnp.float32))
+    dx = _ln_bwd_input(dn.astype(jnp.float32), xhat, inv,
+                       ln_s.astype(jnp.float32)).astype(x.dtype)
+    return (dx, _f0(wq), _f0(wk), _f0(wv),
+            jnp.zeros_like(sq), jnp.zeros_like(sk), jnp.zeros_like(sv),
+            jnp.zeros_like(bq), jnp.zeros_like(bk), jnp.zeros_like(bv),
+            jnp.zeros_like(ln_s), jnp.zeros_like(ln_b))
+
+
+int8_qkv3_st.defvjp(_qkv3_fwd, _qkv3_bwd)
+
+
+@jax.custom_vjp
+def int8_mlp_st(x, w1, s1, b1, w2, s2, b2, ln_s, ln_b, residual):
+    """Differentiable fused transformer MLP on int8 (frozen weights):
+    forward = w8a8_mlp_res (LN + int8 fc1 + QuickGELU + int8 fc2 + residual
+    in VMEM); backward recomputes LN/fc1 once (straight-through through the
+    quantization) and returns dx + d_residual only."""
+    fc1 = {"kernel": {"qa": w1, "scale": s1}, "bias": b1}
+    fc2 = {"kernel": {"qa": w2, "scale": s2}, "bias": b2}
+    return w8a8_mlp_res(x, fc1, fc2, (ln_s, ln_b), residual)
+
+
+def _mlp_st_fwd(x, w1, s1, b1, w2, s2, b2, ln_s, ln_b, residual):
+    y = int8_mlp_st(x, w1, s1, b1, w2, s2, b2, ln_s, ln_b, residual)
+    return y, (x, w1, s1, b1, w2, s2, b2, ln_s, ln_b)
+
+
+def _mlp_st_bwd(res, g):
+    x, w1, s1, b1, w2, s2, b2, ln_s, ln_b = res
+    g32 = g.astype(jnp.float32)
+    xhat, inv = _ln_stats(x.astype(jnp.float32))
+    gamma = ln_s.astype(jnp.float32)
+    n = (xhat * gamma + ln_b.astype(jnp.float32)).astype(g.dtype)
+    w1f = w1.astype(g.dtype) * s1.astype(g.dtype)
+    w2f = w2.astype(g.dtype) * s2.astype(g.dtype)
+    h = (n @ w1f).astype(jnp.float32) + b1.astype(jnp.float32)
+    da = g32 @ w2f.T.astype(jnp.float32)
+    dh = (da * _quick_gelu_grad(h)).astype(g.dtype)
+    dn = dh @ w1f.T
+    dx = _ln_bwd_input(dn.astype(jnp.float32), xhat, inv,
+                       gamma).astype(x.dtype)
+    return (dx, _f0(w1), jnp.zeros_like(s1), jnp.zeros_like(b1),
+            _f0(w2), jnp.zeros_like(s2), jnp.zeros_like(b2),
+            jnp.zeros_like(ln_s), jnp.zeros_like(ln_b), g)
+
+
+int8_mlp_st.defvjp(_mlp_st_fwd, _mlp_st_bwd)
+
+
 def _pick_bn(Np: int, cap: int = 1024) -> int:
     for bn in range(cap, 0, -128):
         if Np % bn == 0:

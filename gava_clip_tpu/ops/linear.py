@@ -51,6 +51,19 @@ def mlp_block(params: Dict, norm_params: Dict, x: jax.Array,
     intermediate in HBM. The fused path assumes `act` is QuickGELU (the
     only activation in this model)."""
     k1 = params["fc1"]["kernel"]
+    if isinstance(k1, dict) and "qt" in k1 and residual is not None:
+        # frozen-int8 training: fused LN + int8 fc1 + GELU + int8 fc2 +
+        # residual forward (same kernel as inference), hand-written dx-only
+        # backward (ops/int8_matmul.int8_mlp_st)
+        from .int8_matmul import int8_mlp_st
+        x2 = x.reshape(-1, x.shape[-1])
+        y = int8_mlp_st(x2, k1["qt"], k1["scale"], params["fc1"]["bias"],
+                        params["fc2"]["kernel"]["qt"],
+                        params["fc2"]["kernel"]["scale"],
+                        params["fc2"]["bias"],
+                        norm_params["scale"], norm_params["bias"],
+                        residual.reshape(-1, residual.shape[-1]))
+        return y.reshape(x.shape[:-1] + (y.shape[-1],))
     if isinstance(k1, dict) and "qa" in k1 and \
             jax.default_backend() == "tpu":
         from .int8_matmul import w8a8_mlp, w8a8_mlp_res

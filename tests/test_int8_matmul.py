@@ -78,3 +78,76 @@ def test_w8a8_matmul3_matches_singles():
         np.testing.assert_allclose(np.asarray(o),
                                    np.asarray(w8a8_matmul(x, q, s)),
                                    atol=1e-5)
+
+
+def test_int8_mlp_st_backward_matches_float_reference():
+    """Hand-written dx/d_residual of the fused frozen-int8 MLP vs autodiff
+    of the float composition on dequantized weights (straight-through:
+    quantization treated as identity, so tolerances absorb the quant
+    noise)."""
+    from gava_clip_tpu.ops.int8_matmul import int8_mlp_st
+    from gava_clip_tpu.ops.quant import quantize_weight
+    rs = np.random.RandomState(0)
+    M, K, H = 16, 32, 64
+    x = jnp.asarray(rs.randn(M, K).astype(np.float32))
+    r = jnp.asarray(rs.randn(M, K).astype(np.float32))
+    w1 = rs.randn(K, H).astype(np.float32) * 0.1
+    w2 = rs.randn(H, K).astype(np.float32) * 0.1
+    b1 = rs.randn(H).astype(np.float32) * 0.01
+    b2 = rs.randn(K).astype(np.float32) * 0.01
+    ln_s = jnp.asarray(1.0 + 0.1 * rs.randn(K).astype(np.float32))
+    ln_b = jnp.asarray(0.01 * rs.randn(K).astype(np.float32))
+    q1, s1 = quantize_weight(w1)
+    q2, s2 = quantize_weight(w2)
+
+    def fused(x, r):
+        return int8_mlp_st(x, jnp.asarray(q1), jnp.asarray(s1),
+                           jnp.asarray(b1), jnp.asarray(q2), jnp.asarray(s2),
+                           jnp.asarray(b2), ln_s, ln_b, r).sum()
+
+    def ref(x, r):
+        mean = x.mean(-1, keepdims=True)
+        var = ((x - mean) ** 2).mean(-1, keepdims=True)
+        n = (x - mean) * jax.lax.rsqrt(var + 1e-5) * ln_s + ln_b
+        h = n @ jnp.asarray(q1.astype(np.float32) * s1) + b1
+        a = h * jax.nn.sigmoid(1.702 * h)
+        return (r + a @ jnp.asarray(q2.astype(np.float32) * s2) + b2).sum()
+
+    gx, gr = jax.grad(fused, argnums=(0, 1))(x, r)
+    gx_ref, gr_ref = jax.grad(ref, argnums=(0, 1))(x, r)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gr_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_int8_qkv3_st_backward_matches_float_reference():
+    from gava_clip_tpu.ops.int8_matmul import int8_qkv3_st
+    from gava_clip_tpu.ops.quant import quantize_weight
+    rs = np.random.RandomState(1)
+    M, K = 16, 32
+    x = jnp.asarray(rs.randn(M, K).astype(np.float32))
+    ws = [rs.randn(K, K).astype(np.float32) * 0.1 for _ in range(3)]
+    bs = [rs.randn(K).astype(np.float32) * 0.01 for _ in range(3)]
+    ln_s = jnp.asarray(1.0 + 0.1 * rs.randn(K).astype(np.float32))
+    ln_b = jnp.asarray(0.01 * rs.randn(K).astype(np.float32))
+    qs = [quantize_weight(w) for w in ws]
+
+    def fused(x):
+        q, k, v = int8_qkv3_st(
+            x, *(jnp.asarray(qi[0]) for qi in qs),
+            *(jnp.asarray(qi[1]) for qi in qs),
+            *(jnp.asarray(b) for b in bs), ln_s, ln_b)
+        return (q * 1.0 + k * 2.0 + v * 3.0).sum()
+
+    def ref(x):
+        mean = x.mean(-1, keepdims=True)
+        var = ((x - mean) ** 2).mean(-1, keepdims=True)
+        n = (x - mean) * jax.lax.rsqrt(var + 1e-5) * ln_s + ln_b
+        outs = [n @ jnp.asarray(q.astype(np.float32) * s) + b
+                for (q, s), b in zip(qs, bs)]
+        return (outs[0] * 1.0 + outs[1] * 2.0 + outs[2] * 3.0).sum()
+
+    gx = jax.grad(fused)(x)
+    gx_ref = jax.grad(ref)(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=0.05, atol=0.05)
