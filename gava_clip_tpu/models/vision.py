@@ -141,6 +141,34 @@ def patchify(x: jax.Array, patch_size: Tuple[int, int]) -> jax.Array:
     return x.reshape(B, T, (H // ph) * (W // pw), ph * pw * C)
 
 
+def fold_normalize_into_patch_embed(pe_params, mean, std,
+                                    patch_size=(16, 16)):
+    """Fold the uint8 -> normalized-float preprocessing into the patch-embed
+    GEMM weights, so the device consumes RAW uint8 patch rows:
+
+        ((u/255 - mean_c)/std_c) @ W + b  ==  u @ W' + b'
+        W'[i, :] = W[i, :] / (255 * std[c(i)])
+        b'       = b - sum_i (mean[c(i)] / std[c(i)]) * W[i, :]
+
+    where c(i) = i % 3 is the RGB channel of patch-row element i (patchify
+    keeps (ph, pw, C) order). Exact — per-channel normalize is affine in u.
+    Quantize AFTER folding (the int8 sidecar must quantize W')."""
+    import numpy as _np
+    kernel = _np.asarray(pe_params["kernel"], _np.float32)
+    P = kernel.shape[0]
+    mean = _np.tile(_np.asarray(mean, _np.float32), P // 3)
+    std = _np.tile(_np.asarray(std, _np.float32), P // 3)
+    w = kernel / (255.0 * std)[:, None]
+    b = pe_params.get("bias")
+    b = _np.zeros(kernel.shape[1], _np.float32) if b is None \
+        else _np.asarray(b, _np.float32)
+    b = b - ((mean / std)[:, None] * kernel).sum(axis=0)
+    out = dict(pe_params)
+    out["kernel"] = w
+    out["bias"] = b
+    return out
+
+
 def patch_embed_patches(params, x: jax.Array, compute_dtype) -> jax.Array:
     """Patch-major embed: (BT, N, ph*pw*C) -> (BT, N, D), one GEMM.
 

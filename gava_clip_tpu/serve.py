@@ -25,11 +25,18 @@ class VideoClassifier:
     def __init__(self, model, params: Dict, classnames: Sequence[str],
                  batch_size: int = 16, mean=CLIP_MEAN, std=CLIP_STD,
                  compute_dtype=None, attn_impl: Optional[str] = None,
-                 quantize=False, mesh=None):
+                 quantize=False, mesh=None, patch_major: bool = False):
         """mesh: optional `jax.sharding.Mesh` with a 'data' axis — the
         serving batch shards across it (weights replicated), scaling
         throughput linearly over ICI with no inter-chip collectives except
-        the output gather. batch_size must divide evenly by the axis."""
+        the output gather. batch_size must divide evenly by the axis.
+
+        patch_major: ship clips to the device as raw uint8 patch rows
+        (models/vision.py patchify — same bytes, reordered on host) with the
+        normalization FOLDED into the patch-embed weights, so the prologue
+        is one contiguous GEMM: no conv relayout, no normalize pass, and in
+        w8a8 mode the embed runs on the int8 MXU (bench: 578.5 vs 566
+        clips/s). The host-side patchify is a cheap numpy relayout."""
         import jax
         import jax.numpy as jnp
         self.model = model
@@ -38,6 +45,15 @@ class VideoClassifier:
         self.num_frames = model.cfg.vision.num_frames
         self.spatial_size = model.cfg.vision.input_size[0]
         self.mesh = mesh
+        self.patch_major = patch_major
+        self._patch_size = model.cfg.vision.patch_size
+        if patch_major:
+            from .models.vision import fold_normalize_into_patch_embed
+            visual = dict(params["visual"])
+            visual["patch_embed"] = fold_normalize_into_patch_embed(
+                visual["patch_embed"], mean, std, self._patch_size)
+            params = dict(params)
+            params["visual"] = visual
         if mesh is not None and batch_size % mesh.shape["data"] != 0:
             raise ValueError(
                 f"serving batch {batch_size} must be divisible by the mesh "
@@ -75,9 +91,17 @@ class VideoClassifier:
             buffers = jax.device_put(model.buffers, jax.devices()[0])
 
         def _fwd(p, clips_u8):
-            x = normalize_frames(clips_u8, mean, std)
-            out = model.apply(p, buffers, x, compute_dtype=compute_dtype,
-                              attn_impl=attn_impl)
+            if self.patch_major:
+                # normalization is folded into the patch-embed weights:
+                # raw uint8 patch rows go straight into the GEMM
+                x = clips_u8.astype(compute_dtype)
+                out = model.apply(p, buffers, x, compute_dtype=compute_dtype,
+                                  attn_impl=attn_impl,
+                                  input_format="patches")
+            else:
+                x = normalize_frames(clips_u8, mean, std)
+                out = model.apply(p, buffers, x, compute_dtype=compute_dtype,
+                                  attn_impl=attn_impl)
             return jax.nn.softmax(out["logits"], axis=-1)
 
         if mesh is not None:
@@ -98,6 +122,9 @@ class VideoClassifier:
     def warmup(self):
         dummy = np.zeros((self.batch_size, self.num_frames, self.spatial_size,
                           self.spatial_size, 3), np.uint8)
+        if self.patch_major:
+            from .models.vision import patchify
+            dummy = patchify(dummy, self._patch_size)
         np.asarray(self._forward(self.params, dummy))
         return self
 
@@ -113,6 +140,10 @@ class VideoClassifier:
             if k < self.batch_size:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], self.batch_size - k, axis=0)])
+            if self.patch_major:
+                from .models.vision import patchify
+                chunk = patchify(np.ascontiguousarray(chunk),
+                                 self._patch_size)
             chunk = jnp.asarray(chunk)
             if self._data_sharding is not None:
                 import jax

@@ -180,6 +180,10 @@ def main(argv=None):
     ap.add_argument("--num_frames", type=int, default=8)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--quantize", choices=["", "w8", "w8a8"], default="")
+    ap.add_argument("--patch_major", action="store_true",
+                    help="ship clips as uint8 patch rows with normalization "
+                         "folded into the patch-embed weights (fastest "
+                         "throughput mode with --quantize w8a8)")
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--data_parallel", type=int, default=0,
                     help="shard the serving batch over this many devices "
@@ -198,7 +202,8 @@ def main(argv=None):
         mesh = create_mesh(n_devices=args.data_parallel)
     clf = VideoClassifier.from_model(
         model, classnames=labels, batch_size=args.batch_size,
-        quantize=args.quantize or False, mesh=mesh).warmup()
+        quantize=args.quantize or False, mesh=mesh,
+        patch_major=args.patch_major).warmup()
     httpd = serve(clf, args.host, args.port, args.max_wait_ms)
     print(f"serving on {args.host}:{args.port} "
           f"(batch={args.batch_size}, quantize={args.quantize or 'bf16'})")

@@ -79,3 +79,60 @@ def test_sharded_serving_batch_divisibility():
     with pytest.raises(ValueError, match="divisible"):
         VideoClassifier.from_model(model, ["a", "b", "c"], batch_size=6,
                                    mesh=mesh)
+
+
+def test_patch_major_classifier_matches_frames():
+    """patch_major=True (uint8 patch rows + normalization folded into the
+    patch-embed weights) must agree with the standard frames classifier —
+    the fold is an exact affine identity, so only fp rounding differs."""
+    import jax.numpy as jnp
+    from gava_clip_tpu.models.vision import VisionConfig
+    from gava_clip_tpu.models.vita_clip import VitaClip, VitaClipConfig
+    from gava_clip_tpu.serve import VideoClassifier
+    tf = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    cfg = VitaClipConfig(
+        vision=VisionConfig(input_size=(32, 32), num_frames=2, feature_dim=32,
+                            patch_size=(16, 16), heads=2, layers=2,
+                            mlp_factor=2.0, embed_dim=16,
+                            use_summary_token=True, use_local_prompts=True,
+                            use_global_prompts=True, num_global_prompts=2),
+        num_classes=3, zeroshot_evaluation=True)
+    model = VitaClip(cfg, zeroshot_text_features=tf)
+    names = ["a", "b", "c"]
+    clf = VideoClassifier.from_model(model, names, batch_size=2,
+                                     compute_dtype=jnp.float32)
+    clf_pm = VideoClassifier.from_model(model, names, batch_size=2,
+                                        compute_dtype=jnp.float32,
+                                        patch_major=True)
+    clips = np.random.RandomState(1).randint(0, 255, (2, 2, 32, 32, 3),
+                                             np.uint8)
+    np.testing.assert_allclose(clf_pm.classify_clips(clips),
+                               clf.classify_clips(clips), atol=2e-4)
+
+
+def test_patch_major_w8a8_classifier_close():
+    import jax.numpy as jnp
+    from gava_clip_tpu.models.vision import VisionConfig
+    from gava_clip_tpu.models.vita_clip import VitaClip, VitaClipConfig
+    from gava_clip_tpu.serve import VideoClassifier
+    tf = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    cfg = VitaClipConfig(
+        vision=VisionConfig(input_size=(32, 32), num_frames=2, feature_dim=32,
+                            patch_size=(16, 16), heads=2, layers=2,
+                            mlp_factor=2.0, embed_dim=16,
+                            use_summary_token=True, use_local_prompts=True,
+                            use_global_prompts=True, num_global_prompts=2),
+        num_classes=3, zeroshot_evaluation=True)
+    model = VitaClip(cfg, zeroshot_text_features=tf)
+    names = ["a", "b", "c"]
+    clf = VideoClassifier.from_model(model, names, batch_size=2,
+                                     compute_dtype=jnp.float32)
+    clf_pm = VideoClassifier.from_model(model, names, batch_size=2,
+                                        compute_dtype=jnp.float32,
+                                        quantize="w8a8", patch_major=True)
+    # int8 sidecar exists and quantizes the FOLDED kernel
+    assert "kernel_q8" in clf_pm.params["visual"]["patch_embed"]
+    clips = np.random.RandomState(1).randint(0, 255, (2, 2, 32, 32, 3),
+                                             np.uint8)
+    np.testing.assert_allclose(clf_pm.classify_clips(clips),
+                               clf.classify_clips(clips), atol=0.05)
