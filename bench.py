@@ -57,7 +57,8 @@ def flagship_train_flops(B=4, T=70, n_cls=3, n_kv=5) -> float:
     return 3.0 * (vision + text)
 
 
-def main_train(steps: int = 20, frozen_int8: bool = False):
+def main_train(steps: int = 20, frozen_int8: bool = False,
+               remat: str = "full"):
     """Train-step bench (VERDICT r2 #3): one JSON line with ms/step at the
     flagship shape (B=4, T=70 — train_scripts/updrs_3cls_train_tulip.sh),
     TFLOP-equiv/s, and the vs-GPU analytic estimate at the same 45%-MFU
@@ -87,7 +88,7 @@ def main_train(steps: int = 20, frozen_int8: bool = False):
     jax.block_until_ready(state.trainable)
     attn = "flash" if jax.default_backend() == "tpu" else "xla"
     step = make_train_step(model, loss_cfg, opt, compute_dtype=jnp.bfloat16,
-                           attn_impl=attn, remat="full", donate=True,
+                           attn_impl=attn, remat=remat, donate=True,
                            frozen_int8=frozen_int8)
     t0 = time.time()
     state, metrics = step(state, batch)
@@ -104,7 +105,7 @@ def main_train(steps: int = 20, frozen_int8: bool = False):
     ref_ms = flops / (0.45 * 91e12) * 1e3
     spread = (max(times) - min(times)) / np.median(times)
     extra = {
-        "batch": B, "frames": T, "remat": "full", "donate": True,
+        "batch": B, "frames": T, "remat": remat, "donate": True,
         "frozen_int8": frozen_int8,
         "clips_per_sec": round(B / med_ms * 1e3, 2),
         "achieved_tflops_equiv": round(flops / med_ms / 1e9, 1),
@@ -311,8 +312,12 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--int8_frozen", action="store_true",
                     help="with --train: int8-forward frozen backbone")
+    ap.add_argument("--remat", default="full",
+                    choices=["none", "full", "dots"],
+                    help="with --train: rematerialization policy")
     args = ap.parse_args()
     if args.train:
-        main_train(steps=args.steps, frozen_int8=args.int8_frozen)
+        main_train(steps=args.steps, frozen_int8=args.int8_frozen,
+                   remat=args.remat)
     else:
         main()
