@@ -267,8 +267,12 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str):
             # attention + int8 out-projection + residual in one kernel:
             # the attention output never leaves VMEM
             from ..ops.flash_attention import flash_attention_out_int8
-            x = flash_attention_out_int8(qp[:, :Lx], kp, vp, cfg.heads,
-                                         p["attn"]["out"], x)
+            # lq=Lx: the kernel reads the first Lx rows of the FULL qkv
+            # projection as queries, skipping the non-contiguous
+            # qp[:, :Lx] slice materialization (one HBM round-trip of the
+            # query tensor per layer)
+            x = flash_attention_out_int8(qp, kp, vp, cfg.heads,
+                                         p["attn"]["out"], x, lq=Lx)
         else:
             from ..ops.attention import attention_core
             attn = attention_core(qp[:, :Lx], kp, vp, cfg.heads,

@@ -414,16 +414,26 @@ def _attention_out_kernel(q_ref, k_ref, v_ref, w_ref, s_ref, b_ref, r_ref,
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-def flash_attention_out_int8(q, k, v, num_heads, out_params, residual):
+def flash_attention_out_int8(q, k, v, num_heads, out_params, residual,
+                             lq: int | None = None):
     """Fused attention + w8a8 out-projection + residual for the inference
     path: returns residual + Linear_int8(attention(q, k, v)).
 
     out_params: {'kernel': {'qa' (D, D) int8, 'scale' (1, D)}, 'bias' (D,)}.
     Not differentiable (inference only — the train path composes
-    flash_attention with the w8a8-free linear instead)."""
+    flash_attention with the w8a8-free linear instead).
+
+    lq: if given, only the first lq rows of q are treated as queries and the
+    output has lq rows; q itself may be LONGER (e.g. the full 214-row qkv
+    projection including prompt extras). This lets the caller skip the
+    `qp[:, :Lx]` slice, whose non-contiguous materialization before the
+    kernel costs a full HBM round-trip of the query tensor per layer —
+    the kernel's ragged 8-row-quantum block tail masks the extra rows for
+    free instead."""
     from jax.experimental.pallas import tpu as pltpu
 
-    B, Lq, D = q.shape
+    B, Lq_arr, D = q.shape
+    Lq = Lq_arr if lq is None else lq
     Lk = k.shape[1]
     head_dim = D // num_heads
     # pad only to the fp32 sublane quantum (8): Mosaic handles lane-
@@ -433,8 +443,12 @@ def flash_attention_out_int8(q, k, v, num_heads, out_params, residual):
     Lqp, Lkp = _ceil_to(Lq, 8), _ceil_to(Lk, 8)
     interp = jax.default_backend() != "tpu"
     if interp:
-        q, k, v = _pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp)
+        q = _pad_seq(q[:, :Lq], Lqp)
+        k, v = _pad_seq(k, Lkp), _pad_seq(v, Lkp)
         residual = _pad_seq(residual, Lqp)
+    # on TPU no padding happens: every 8-quantum block tail (Lqp rows over
+    # an Lq-row out/residual array, or over a longer lq-caller q array) is
+    # handled by Pallas/Mosaic ragged fetch+store masking
 
     wq = out_params["kernel"]["qa"]
     ws = out_params["kernel"]["scale"]

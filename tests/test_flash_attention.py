@@ -168,6 +168,29 @@ def test_fused_int8_out_projection_matches_composition():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_fused_int8_lq_matches_sliced_q():
+    """lq= valid-query count: passing the full (longer) q buffer with lq=N
+    must equal slicing q[:, :N] first. This is the serving-path layout where
+    q is the whole qkv projection row block (models/vision.py _block)."""
+    from gava_clip_tpu.ops.flash_attention import flash_attention_out_int8
+    rs = np.random.RandomState(9)
+    B, Lq_full, Lx, Lk, D, H = 2, 27, 21, 33, 64, 4
+    q = jnp.asarray(rs.randn(B, Lq_full, D).astype(np.float32) * 0.1)
+    k = jnp.asarray(rs.randn(B, Lk, D).astype(np.float32) * 0.1)
+    v = jnp.asarray(rs.randn(B, Lk, D).astype(np.float32) * 0.1)
+    r = jnp.asarray(rs.randn(B, Lx, D).astype(np.float32) * 0.1)
+    wq = jnp.asarray(rs.randint(-127, 127, (D, D), np.int8))
+    sc = jnp.asarray(np.abs(rs.randn(1, D)).astype(np.float32) * 0.01)
+    b = jnp.asarray(rs.randn(D).astype(np.float32) * 0.01)
+    outp = {"kernel": {"qa": wq, "scale": sc}, "bias": b}
+
+    got = flash_attention_out_int8(q, k, v, H, outp, r, lq=Lx)
+    want = flash_attention_out_int8(q[:, :Lx], k, v, H, outp, r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+    assert got.shape == (B, Lx, D)
+
+
 def test_clamp_monitor_detects_drift():
     """The opt-in drift monitor (ADVICE r2): records the exact max exp2
     argument and flags logits past the saturating clamp at 110."""
