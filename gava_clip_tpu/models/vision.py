@@ -244,10 +244,19 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str):
         extras.append(jnp.broadcast_to(lp[:, None], (Bb, Tb, Tb, D))
                       .reshape(BT, Tb, D))
 
-    kv = jnp.concatenate([x] + extras, axis=1) if extras else x
     k_q = p["attn"]["q"]["kernel"]
-    if isinstance(k_q, dict) and "qa" in k_q and \
-            jax.default_backend() == "tpu":
+    k_out = p["attn"]["out"]["kernel"]
+    w8a8 = isinstance(k_q, dict) and "qa" in k_q and \
+        jax.default_backend() == "tpu"
+    fused_out = attn_impl == "flash" and isinstance(k_out, dict) and \
+        "qa" in k_out
+    # NOTE (measured-rejected): a no-concat variant — projecting x and
+    # extras through two separate qkv kernels and attending over both kv
+    # sources with flash_attention_out_int8_2src — benched 586 clips/s vs
+    # 609 for this path: the second kernel launch + its 3x768x768 weight
+    # refetch per layer cost more than the 0.025 ms kv concat it saves.
+    if w8a8:
+        kv = jnp.concatenate([x] + extras, axis=1) if extras else x
         # w8a8 inference path: LayerNorm + shared quant + all three int8
         # projections in ONE fused kernel (q is a row-slice of the kv
         # output, so the generic shared-input dispatch in
@@ -261,16 +270,14 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str):
             bias3=tuple(p["attn"][n]["bias"] for n in ("q", "k", "v")),
             ln=(p["norm1"]["scale"], p["norm1"]["bias"]))
         qp, kp, vp = (o.reshape(kv.shape) for o in outs)
-        k_out = p["attn"]["out"]["kernel"]
-        if attn_impl == "flash" and isinstance(k_out, dict) and \
-                "qa" in k_out:
+        if fused_out:
             # attention + int8 out-projection + residual in one kernel:
-            # the attention output never leaves VMEM
+            # the attention output never leaves VMEM. lq=Lx: the kernel
+            # reads the first Lx rows of the FULL qkv projection as
+            # queries, skipping the non-contiguous qp[:, :Lx] slice
+            # materialization (one HBM round-trip of the query tensor
+            # per layer)
             from ..ops.flash_attention import flash_attention_out_int8
-            # lq=Lx: the kernel reads the first Lx rows of the FULL qkv
-            # projection as queries, skipping the non-contiguous
-            # qp[:, :Lx] slice materialization (one HBM round-trip of the
-            # query tensor per layer)
             x = flash_attention_out_int8(qp, kp, vp, cfg.heads,
                                          p["attn"]["out"], x, lq=Lx)
         else:
@@ -286,6 +293,7 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str):
         from ..ops.attention import attention_core
         from ..ops.int8_matmul import int8_qkv3_st
         a = p["attn"]
+        kv = jnp.concatenate([x] + extras, axis=1) if extras else x
         kv2 = kv.reshape(-1, D)
         outs = int8_qkv3_st(
             kv2, a["q"]["kernel"]["qt"], a["k"]["kernel"]["qt"],
@@ -297,6 +305,7 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str):
         attn = attention_core(qp[:, :Lx], kp, vp, cfg.heads, impl=attn_impl)
         x = x + linear(p["attn"]["out"], attn)
     else:
+        kv = jnp.concatenate([x] + extras, axis=1) if extras else x
         kv_n = layer_norm(kv, p["norm1"]["scale"], p["norm1"]["bias"])
         x = x + multi_head_attention(p["attn"], kv_n[:, :Lx], kv_n, kv_n,
                                      cfg.heads, impl=attn_impl)

@@ -67,6 +67,28 @@ def _zero_tail_rows(x, valid: int):
     rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     return jnp.where(rows < valid, x, jnp.zeros_like(x))
 
+def _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
+                               head_dim, store):
+    """Core of _onepass_softmax_av with an explicit valid-key mask
+    (colmask: None or (1, Lk) {0,1} fp32) — callers with a non-prefix
+    valid-key layout (the stitched two-source kernel) build their own."""
+    Lk = k.shape[0]
+    c = scale * 1.4426950408889634                    # fold scale into exp2
+    ones = jnp.ones((Lk, 128), v.dtype)
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        e = jnp.exp2(jnp.minimum(s * c, 110.0))
+        if colmask is not None:
+            e = e * colmask
+        e = e.astype(v.dtype)
+        out = jnp.dot(e, v[:, sl], preferred_element_type=jnp.float32)
+        denom = jnp.dot(e, ones, preferred_element_type=jnp.float32)[:, :1]
+        store(sl, out / jnp.maximum(denom, 1e-30))
+
+
 def _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim,
                         store):
     """Whole-row attention with the single-elementwise-pass softmax.
@@ -91,24 +113,12 @@ def _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim,
     fp32 output.
     """
     Lk = k.shape[0]
-    c = scale * 1.4426950408889634                    # fold scale into exp2
     colmask = None
     if lk_valid < Lk:
         colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, Lk), 1)
                    < lk_valid).astype(jnp.float32)
-    ones = jnp.ones((Lk, 128), v.dtype)
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        s = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        e = jnp.exp2(jnp.minimum(s * c, 110.0))
-        if colmask is not None:
-            e = e * colmask
-        e = e.astype(v.dtype)
-        out = jnp.dot(e, v[:, sl], preferred_element_type=jnp.float32)
-        denom = jnp.dot(e, ones, preferred_element_type=jnp.float32)[:, :1]
-        store(sl, out / jnp.maximum(denom, 1e-30))
+    _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
+                               head_dim, store)
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
@@ -473,4 +483,105 @@ def flash_attention_out_int8(q, k, v, num_heads, out_params, residual,
         compiler_params=_PARALLEL_1D,
         interpret=interp,
     )(q, k, v, wq, ws, bias, residual)
+    return out[:, :Lq] if interp else out
+
+
+def _attention_out_kernel_2src(q_ref, k1_ref, v1_ref, k2_ref, v2_ref,
+                               w_ref, s_ref, b_ref, r_ref, o_ref, attn_ref,
+                               *, scale: float, lk1_valid: int,
+                               lk2_valid: int, num_heads: int,
+                               head_dim: int):
+    """_attention_out_kernel over TWO kv sources (patch rows + prompt-extras
+    rows) — the sources never get concatenated in HBM; they are stitched
+    along the sublane axis IN VMEM (both tiles are 8-row aligned, one cheap
+    copy) so every head keeps the same single physical score tile as the
+    pre-concatenated layout. Scoring the small source separately instead
+    would round its Lk2 lanes up to a full 128-lane tile per head and cost
+    +50% exp-pass VPU work (measured: 1.04 -> 1.17 ms/block)."""
+    q = q_ref[0]
+    L1, L2 = k1_ref.shape[1], k2_ref.shape[1]
+    k = jnp.concatenate([_zero_tail_rows(k1_ref[0], lk1_valid),
+                         _zero_tail_rows(k2_ref[0], lk2_valid)], axis=0)
+    v = jnp.concatenate([_zero_tail_rows(v1_ref[0], lk1_valid),
+                         _zero_tail_rows(v2_ref[0], lk2_valid)], axis=0)
+    # valid-key mask with the stitched layout's gap (rows lk1..L1 are the
+    # zeroed sublane tail of source 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, L1 + L2), 1)
+    colmask = None
+    if lk1_valid < L1 or lk2_valid < L2:
+        colmask = ((rows < lk1_valid)
+                   | ((rows >= L1) & (rows < L1 + lk2_valid))
+                   ).astype(jnp.float32)
+
+    def store(sl, out):
+        attn_ref[:, sl] = out
+
+    _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
+                               head_dim, store)
+    a = attn_ref[...]
+    xs = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-6) \
+        * (1.0 / 127.0)
+    aq = jnp.round(a * (1.0 / xs)).astype(jnp.int8)
+    acc = jnp.dot(aq, w_ref[...], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * xs * s_ref[...].astype(jnp.float32) \
+        + b_ref[...].astype(jnp.float32) + r_ref[0].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def flash_attention_out_int8_2src(q, k1, v1, k2, v2, num_heads, out_params,
+                                  residual):
+    """flash_attention_out_int8 over two separate kv sources: attention keys
+    are the union [k1; k2] (order-invariant), so the caller never has to
+    interleave the per-frame patch rows with the prompt-extras rows —
+    skipping the (B, L1+L2, D) kv concatenate whose HBM write + re-read
+    cost ~0.05 ms/layer at the bench shape.
+
+    q/k1/v1: (B, L1, D) patch-row projections (queries == k1 rows);
+    k2/v2: (B, L2, D) extras projections. Inference-only (no VJP).
+
+    Status: correct and tested, but NOT wired into the serving path —
+    end-to-end it measured 586 clips/s vs 609 for the concat+lq layout
+    (models/vision.py _block): feeding it requires a second qkv-projection
+    kernel launch per layer whose overhead + weight refetch outweigh the
+    0.025 ms concat. Kept for callers whose extras are projected anyway
+    (e.g. cross-attention over a precomputed memory)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lq, D = q.shape
+    L1, L2 = k1.shape[1], k2.shape[1]
+    head_dim = D // num_heads
+    Lqp = _ceil_to(Lq, 8)
+    L1p, L2p = _ceil_to(L1, 8), _ceil_to(L2, 8)
+    interp = jax.default_backend() != "tpu"
+    if interp:
+        q = _pad_seq(q, Lqp)
+        k1, v1 = _pad_seq(k1, L1p), _pad_seq(v1, L1p)
+        k2, v2 = _pad_seq(k2, L2p), _pad_seq(v2, L2p)
+        residual = _pad_seq(residual, Lqp)
+
+    wq = out_params["kernel"]["qa"]
+    ws = out_params["kernel"]["scale"]
+    bias = out_params["bias"].reshape(1, D)
+
+    blk_q = pl.BlockSpec((1, Lqp, D), lambda b: (b, 0, 0))
+    blk_k1 = pl.BlockSpec((1, L1p, D), lambda b: (b, 0, 0))
+    blk_k2 = pl.BlockSpec((1, L2p, D), lambda b: (b, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_attention_out_kernel_2src,
+                          scale=head_dim ** -0.5, lk1_valid=L1,
+                          lk2_valid=L2, num_heads=num_heads,
+                          head_dim=head_dim),
+        grid=(B,),
+        in_specs=[blk_q, blk_k1, blk_k1, blk_k2, blk_k2,
+                  pl.BlockSpec((D, D), lambda b: (0, 0)),
+                  pl.BlockSpec((1, D), lambda b: (0, 0)),
+                  pl.BlockSpec((1, D), lambda b: (0, 0)),
+                  blk_q],
+        out_specs=blk_q,
+        out_shape=jax.ShapeDtypeStruct((B, Lqp if interp else Lq, D),
+                                       q.dtype),
+        scratch_shapes=[pltpu.VMEM((Lqp, D), jnp.float32)],
+        compiler_params=_PARALLEL_1D,
+        interpret=interp,
+    )(q, k1, v1, k2, v2, wq, ws, bias, residual)
     return out[:, :Lq] if interp else out

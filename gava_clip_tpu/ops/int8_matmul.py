@@ -567,6 +567,9 @@ def w8a8_mlp_res(x: jax.Array, fc1, fc2, ln, residual: jax.Array,
     w2, s2 = fc2["kernel"]["qa"], fc2["kernel"]["scale"]
     H = w1.shape[1]
     N = w2.shape[1]
+    # NOTE: an even grid-block count does NOT help here (measured at
+    # M=12608: 512x25 blocks 0.420 ms vs even 488x26 0.471 / 576x22
+    # 0.434) — unlike the qkv3 kernel, so keep the plain cap.
     bm = min(block_m, _cdiv(M, 8) * 8)
 
     def kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,

@@ -191,6 +191,33 @@ def test_fused_int8_lq_matches_sliced_q():
     assert got.shape == (B, Lx, D)
 
 
+def test_fused_int8_two_source_matches_concat():
+    """flash_attention_out_int8_2src over separate (k1,v1)/(k2,v2) must
+    equal the single-source kernel over the concatenated kv — the no-concat
+    serving path for prompt extras (models/vision.py _block)."""
+    from gava_clip_tpu.ops.flash_attention import (
+        flash_attention_out_int8, flash_attention_out_int8_2src)
+    rs = np.random.RandomState(11)
+    B, L1, L2, D, H = 2, 29, 13, 64, 4
+    q = jnp.asarray(rs.randn(B, L1, D).astype(np.float32) * 0.1)
+    k1 = jnp.asarray(rs.randn(B, L1, D).astype(np.float32) * 0.1)
+    v1 = jnp.asarray(rs.randn(B, L1, D).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(rs.randn(B, L2, D).astype(np.float32) * 0.1)
+    v2 = jnp.asarray(rs.randn(B, L2, D).astype(np.float32) * 0.1)
+    r = jnp.asarray(rs.randn(B, L1, D).astype(np.float32) * 0.1)
+    wq = jnp.asarray(rs.randint(-127, 127, (D, D), np.int8))
+    sc = jnp.asarray(np.abs(rs.randn(1, D)).astype(np.float32) * 0.01)
+    b = jnp.asarray(rs.randn(D).astype(np.float32) * 0.01)
+    outp = {"kernel": {"qa": wq, "scale": sc}, "bias": b}
+
+    got = flash_attention_out_int8_2src(q, k1, v1, k2, v2, H, outp, r)
+    want = flash_attention_out_int8(
+        q, jnp.concatenate([k1, k2], axis=1),
+        jnp.concatenate([v1, v2], axis=1), H, outp, r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)
+
+
 def test_clamp_monitor_detects_drift():
     """The opt-in drift monitor (ADVICE r2): records the exact max exp2
     argument and flags logits past the saturating clamp at 110."""
