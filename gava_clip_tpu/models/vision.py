@@ -198,10 +198,20 @@ def resize_time_embed(time_embed: jax.Array, T: int) -> jax.Array:
     return time_embed[idx]
 
 
-def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str):
+def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str,
+           lx_valid: int | None = None):
     """One prompt-aware transformer block over per-frame token rows.
 
     x: (B*T, 1+N, D) = [cls, patches]. Returns (x, summary|None).
+
+    lx_valid: set by vision_encoder's sublane-aligned serving layout —
+    x carries (8-quantum) zero-pad rows after the first lx_valid real
+    tokens so that every 3D<->2D reshape around the Pallas kernels is a
+    layout-preserving bitcast (XLA otherwise materializes each one as a
+    full repack copy, ~0.13 ms/layer at the bench shape: the (BT, 214, D)
+    tiled layout pads every clip to 216 sublanes while the flat
+    (BT*214, D) layout does not). Pad rows are masked out of the
+    attention keys (k_segments) and otherwise just ride along row-locally.
 
     Semantics match reference TransformerEncoderLayer.forward
     (VitaCLIP_vision_encoder_utils.py:155-203) + the encoder's global-prompt
@@ -256,6 +266,15 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str):
     # 609 for this path: the second kernel launch + its 3x768x768 weight
     # refetch per layer cost more than the 0.025 ms kv concat it saves.
     if w8a8:
+        padded = lx_valid is not None and fused_out
+        if padded and extras:
+            # sublane-aligned layout: pad the extras group to the 8-row
+            # quantum too, so the concatenated kv keeps every clip's row
+            # count 8-aligned and kv.reshape(-1, D) stays a bitcast
+            le = sum(e.shape[1] for e in extras)
+            le_pad = -le % 8
+            if le_pad:
+                extras = extras + [jnp.zeros((BT, le_pad, D), x.dtype)]
         kv = jnp.concatenate([x] + extras, axis=1) if extras else x
         # w8a8 inference path: LayerNorm + shared quant + all three int8
         # projections in ONE fused kernel (q is a row-slice of the kv
@@ -270,7 +289,18 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str):
             bias3=tuple(p["attn"][n]["bias"] for n in ("q", "k", "v")),
             ln=(p["norm1"]["scale"], p["norm1"]["bias"]))
         qp, kp, vp = (o.reshape(kv.shape) for o in outs)
-        if fused_out:
+        if fused_out and padded:
+            # aligned serving layout: all Lx rows (incl. pad) are queries
+            # and output rows; pad rows and the extras pad tail are masked
+            # out of the keys by static segments
+            from ..ops.flash_attention import flash_attention_out_int8
+            segs = ((0, lx_valid),)
+            if extras:
+                segs = ((0, lx_valid), (Lx, Lx + le))
+            x = flash_attention_out_int8(qp, kp, vp, cfg.heads,
+                                         p["attn"]["out"], x, lq=Lx,
+                                         k_segments=segs)
+        elif fused_out:
             # attention + int8 out-projection + residual in one kernel:
             # the attention output never leaves VMEM. lq=Lx: the kernel
             # reads the first Lx rows of the FULL qkv projection as
@@ -349,6 +379,27 @@ def vision_encoder(params, x: jax.Array, cfg: VisionConfig,
 
     x = layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
 
+    # sublane-aligned serving layout: on the fused w8a8+flash TPU path, pad
+    # each clip's token rows (1+N=197 at 224^2/16) up to the 8-row quantum
+    # so every (BT, L, D) <-> (BT*L, D) reshape around the Pallas kernels
+    # compiles to a bitcast instead of a repack copy (the 3D tiled layout
+    # pads L per clip, the flat layout doesn't; profiled at 1.53 ms of
+    # reshape copies per forward = 12% of the w8a8 runtime). Pad rows are
+    # masked out of attention keys inside the kernel (k_segments).
+    lx_valid = None
+    try:
+        kq = params["blocks"]["attn"]["q"]["kernel"]
+        ko = params["blocks"]["attn"]["out"]["kernel"]
+        w8a8_serving = (isinstance(kq, dict) and "qa" in kq
+                        and isinstance(ko, dict) and "qa" in ko)
+    except (KeyError, TypeError):
+        w8a8_serving = False
+    Lx = x.shape[1]
+    if (w8a8_serving and attn_impl == "flash"
+            and jax.default_backend() == "tpu" and Lx % 8 != 0):
+        lx_valid = Lx
+        x = jnp.pad(x, ((0, 0), (0, -Lx % 8), (0, 0)))
+
     g_prompts = params.get("global_prompts")
     if g_prompts is None:
         g_prompts = jnp.zeros((cfg.layers, 0, D), x.dtype)
@@ -358,7 +409,7 @@ def vision_encoder(params, x: jax.Array, cfg: VisionConfig,
     def scan_body(carry, layer_params):
         h, _ = carry
         p, g = layer_params
-        h, summary = _block(p, g, h, cfg, attn_impl)
+        h, summary = _block(p, g, h, cfg, attn_impl, lx_valid=lx_valid)
         if summary is None:
             summary = jnp.zeros((Bb, Tb, D), h.dtype)
         return (h, summary), None

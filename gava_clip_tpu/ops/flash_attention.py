@@ -402,18 +402,42 @@ def _reference_attention(q, k, v, num_heads, causal: bool = False):
 
 def _attention_out_kernel(q_ref, k_ref, v_ref, w_ref, s_ref, b_ref, r_ref,
                           o_ref, attn_ref, *, scale: float, lk_valid: int,
-                          num_heads: int, head_dim: int):
+                          k_segments, num_heads: int, head_dim: int):
     """Inference fusion: whole-row attention, then the int8 out-projection,
-    bias, and residual add — the attention output never leaves VMEM."""
-    # q garbage rows stay row-local (their outputs are never stored);
-    # k/v garbage rows MUST be zeroed (see _zero_tail_rows)
+    bias, and residual add — the attention output never leaves VMEM.
+
+    k_segments: None for the prefix-valid layout (keys 0..lk_valid), or a
+    static tuple of (start, end) valid-key ranges for the sublane-aligned
+    serving layout, where zero-pad rows sit BETWEEN the patch rows and the
+    prompt-extras rows (models/vision.py pads each clip's token count to
+    the 8-row quantum so 3D<->2D reshapes are layout-preserving bitcasts
+    instead of 42 MB repack copies). Segment rows are genuine GEMM outputs
+    (finite), so masking their exp terms suffices — no zeroing needed."""
     q = q_ref[0]
-    k = _zero_tail_rows(k_ref[0], lk_valid)
-    v = _zero_tail_rows(v_ref[0], lk_valid)
+    if k_segments is not None:
+        k, v = k_ref[0], v_ref[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, k.shape[0]), 1)
+        m = None
+        for s0, s1 in k_segments:
+            seg = (rows >= s0) & (rows < s1)
+            m = seg if m is None else (m | seg)
+        colmask = m.astype(jnp.float32)
+    else:
+        # q garbage rows stay row-local (their outputs are never stored);
+        # k/v ragged-tail garbage rows MUST be zeroed (see _zero_tail_rows)
+        k = _zero_tail_rows(k_ref[0], lk_valid)
+        v = _zero_tail_rows(v_ref[0], lk_valid)
+        colmask = None
+        if lk_valid < k.shape[0]:
+            colmask = (jax.lax.broadcasted_iota(
+                jnp.int32, (1, k.shape[0]), 1) < lk_valid
+                ).astype(jnp.float32)
+
     def store(sl, out):
         attn_ref[:, sl] = out
 
-    _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim, store)
+    _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
+                               head_dim, store)
     a = attn_ref[...]
     xs = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-6) \
         * (1.0 / 127.0)
@@ -425,7 +449,8 @@ def _attention_out_kernel(q_ref, k_ref, v_ref, w_ref, s_ref, b_ref, r_ref,
 
 
 def flash_attention_out_int8(q, k, v, num_heads, out_params, residual,
-                             lq: int | None = None):
+                             lq: int | None = None,
+                             k_segments: tuple | None = None):
     """Fused attention + w8a8 out-projection + residual for the inference
     path: returns residual + Linear_int8(attention(q, k, v)).
 
@@ -439,12 +464,20 @@ def flash_attention_out_int8(q, k, v, num_heads, out_params, residual,
     `qp[:, :Lx]` slice, whose non-contiguous materialization before the
     kernel costs a full HBM round-trip of the query tensor per layer —
     the kernel's ragged 8-row-quantum block tail masks the extra rows for
-    free instead."""
+    free instead.
+
+    k_segments: static ((start, end), ...) valid-key ranges for callers on
+    the sublane-aligned padded layout (zero-pad rows interleaved between
+    patch and extras rows; see _attention_out_kernel). Requires k's row
+    count to be 8-aligned (no ragged tail). Mutually exclusive with
+    relying on the lk prefix mask."""
     from jax.experimental.pallas import tpu as pltpu
 
     B, Lq_arr, D = q.shape
     Lq = Lq_arr if lq is None else lq
     Lk = k.shape[1]
+    if k_segments is not None:
+        assert Lk % 8 == 0, "k_segments requires 8-aligned key rows"
     head_dim = D // num_heads
     # pad only to the fp32 sublane quantum (8): Mosaic handles lane-
     # unaligned score tiles fine, and every garbage row in the block
@@ -468,8 +501,8 @@ def flash_attention_out_int8(q, k, v, num_heads, out_params, residual,
     blk_kv = pl.BlockSpec((1, Lkp, D), lambda b: (b, 0, 0))
     out = pl.pallas_call(
         functools.partial(_attention_out_kernel, scale=head_dim ** -0.5,
-                          lk_valid=Lk, num_heads=num_heads,
-                          head_dim=head_dim),
+                          lk_valid=Lk, k_segments=k_segments,
+                          num_heads=num_heads, head_dim=head_dim),
         grid=(B,),
         in_specs=[blk_q, blk_kv, blk_kv,
                   pl.BlockSpec((D, D), lambda b: (0, 0)),

@@ -218,6 +218,35 @@ def test_fused_int8_two_source_matches_concat():
                                atol=2e-4)
 
 
+def test_fused_int8_k_segments_matches_dense():
+    """k_segments (the sublane-aligned serving layout: zero-pad rows between
+    patch rows and extras rows) must equal attention over only the valid
+    keys. Layout here: 21 valid patch keys, pad to 24, then 9 valid extras
+    keys, pad to 40 total."""
+    from gava_clip_tpu.ops.flash_attention import flash_attention_out_int8
+    rs = np.random.RandomState(12)
+    B, D, H = 2, 64, 4
+    lx, Lxp, le = 21, 24, 9
+    Lk = 40   # Lxp + 16 (extras padded 9 -> 16)
+    q = jnp.asarray(rs.randn(B, Lxp, D).astype(np.float32) * 0.1)
+    k = jnp.asarray(rs.randn(B, Lk, D).astype(np.float32) * 0.1)
+    v = jnp.asarray(rs.randn(B, Lk, D).astype(np.float32) * 0.1)
+    r = jnp.asarray(rs.randn(B, Lxp, D).astype(np.float32) * 0.1)
+    wq = jnp.asarray(rs.randint(-127, 127, (D, D), np.int8))
+    sc = jnp.asarray(np.abs(rs.randn(1, D)).astype(np.float32) * 0.01)
+    b = jnp.asarray(rs.randn(D).astype(np.float32) * 0.01)
+    outp = {"kernel": {"qa": wq, "scale": sc}, "bias": b}
+    segs = ((0, lx), (Lxp, Lxp + le))
+
+    got = flash_attention_out_int8(q, k, v, H, outp, r, k_segments=segs)
+
+    kd = jnp.concatenate([k[:, :lx], k[:, Lxp:Lxp + le]], axis=1)
+    vd = jnp.concatenate([v[:, :lx], v[:, Lxp:Lxp + le]], axis=1)
+    want = flash_attention_out_int8(q, kd, vd, H, outp, r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)
+
+
 def test_clamp_monitor_detects_drift():
     """The opt-in drift monitor (ADVICE r2): records the exact max exp2
     argument and flags logits past the saturating clamp at 110."""
