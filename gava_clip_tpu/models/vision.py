@@ -275,20 +275,32 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str,
             le_pad = -le % 8
             if le_pad:
                 extras = extras + [jnp.zeros((BT, le_pad, D), x.dtype)]
-        kv = jnp.concatenate([x] + extras, axis=1) if extras else x
         # w8a8 inference path: LayerNorm + shared quant + all three int8
         # projections in ONE fused kernel (q is a row-slice of the kv
         # output, so the generic shared-input dispatch in
         # multi_head_attention cannot trigger here)
-        from ..ops.int8_matmul import w8a8_matmul3
-        kv2 = kv.reshape(-1, D)
-        outs = w8a8_matmul3(
-            kv2,
-            tuple(p["attn"][n]["kernel"]["qa"] for n in ("q", "k", "v")),
-            tuple(p["attn"][n]["kernel"]["scale"] for n in ("q", "k", "v")),
-            bias3=tuple(p["attn"][n]["bias"] for n in ("q", "k", "v")),
-            ln=(p["norm1"]["scale"], p["norm1"]["bias"]))
-        qp, kp, vp = (o.reshape(kv.shape) for o in outs)
+        wq3 = tuple(p["attn"][n]["kernel"]["qa"] for n in ("q", "k", "v"))
+        sc3 = tuple(p["attn"][n]["kernel"]["scale"]
+                    for n in ("q", "k", "v"))
+        b3 = tuple(p["attn"][n]["bias"] for n in ("q", "k", "v"))
+        ln = (p["norm1"]["scale"], p["norm1"]["bias"])
+        if padded and extras:
+            # aligned layout: the qkv kernel reads the patch rows and the
+            # extras rows as two inputs and stitches them in VMEM —
+            # the (BT, Lkv, D) kv concatenate never exists in HBM
+            # (profiled at 0.6 ms/forward as an XLA concatenate)
+            from ..ops.int8_matmul import w8a8_matmul3_cat
+            e = extras[0] if len(extras) == 1 else \
+                jnp.concatenate(extras, axis=1)
+            cpb = max(c for c in (4, 2, 1) if BT % c == 0)
+            qp, kp, vp = w8a8_matmul3_cat(x, e, wq3, sc3, bias3=b3,
+                                          ln=ln, clips_per_block=cpb)
+        else:
+            kv = jnp.concatenate([x] + extras, axis=1) if extras else x
+            from ..ops.int8_matmul import w8a8_matmul3
+            outs = w8a8_matmul3(kv.reshape(-1, D), wq3, sc3, bias3=b3,
+                                ln=ln)
+            qp, kp, vp = (o.reshape(kv.shape) for o in outs)
         if fused_out and padded:
             # aligned serving layout: all Lx rows (incl. pad) are queries
             # and output rows; pad rows and the extras pad tail are masked

@@ -487,6 +487,79 @@ def w8a8_matmul3(x: jax.Array, wq3, scale3, bias3=None, ln=None,
     return outs
 
 
+def _w8a8_kernel3_cat(x_ref, e_ref, wq_ref, wk_ref, wv_ref, s_ref, b_ref,
+                      ln_s_ref, ln_b_ref, oq_ref, ok_ref, ov_ref, *,
+                      out_dtype, lx: int, le: int):
+    """_w8a8_kernel3 over a block of C clips whose rows arrive as two
+    arrays — C*lx patch rows and C*le extras rows — stitched per clip in
+    VMEM (all pieces 8-row aligned) into the interleaved kv layout before
+    the shared LN+quant and the three dots. One launch replaces the
+    XLA kv concatenate (a (BT, lx+le, D) HBM write + re-read)."""
+    C = x_ref.shape[0] // lx
+    parts = []
+    for c in range(C):
+        parts.append(x_ref[c * lx:(c + 1) * lx, :])
+        parts.append(e_ref[c * le:(c + 1) * le, :])
+    x = jnp.concatenate(parts, axis=0).astype(jnp.float32)
+    x = _ln_f32(x, ln_s_ref[...].astype(jnp.float32),
+                ln_b_ref[...].astype(jnp.float32))
+    xq, xs = _quant_rows(x)
+    s = s_ref[...].astype(jnp.float32)
+    b = b_ref[...].astype(jnp.float32)
+    for idx, (w_ref, o_ref) in enumerate(
+            ((wq_ref, oq_ref), (wk_ref, ok_ref), (wv_ref, ov_ref))):
+        acc = jnp.dot(xq, w_ref[...], preferred_element_type=jnp.int32)
+        o_ref[...] = (acc.astype(jnp.float32) * xs * s[idx:idx + 1]
+                      + b[idx:idx + 1]).astype(out_dtype)
+
+
+def w8a8_matmul3_cat(x, e, wq3, scale3, bias3=None, ln=None,
+                     clips_per_block: int = 4):
+    """Shared-quant triple GEMM over the interleaved [x-rows; extras-rows]
+    per-clip kv layout WITHOUT materializing the concatenated kv in HBM.
+
+    x (B, Lx, K) and e (B, Le, K) with Lx, Le multiples of 8 (the
+    sublane-aligned serving layout); returns three (B, Lx+Le, N) arrays.
+    Requires B % clips_per_block == 0.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lx, K = x.shape
+    Le = e.shape[1]
+    assert Lx % 8 == 0 and Le % 8 == 0, (Lx, Le)
+    assert B % clips_per_block == 0, (B, clips_per_block)
+    C = clips_per_block
+    Lkv = Lx + Le
+    N = wq3[0].shape[1]
+    scales = jnp.concatenate([s.astype(jnp.float32) for s in scale3], axis=0)
+    if bias3 is None:
+        biases = jnp.zeros((3, N), jnp.float32)
+    else:
+        biases = jnp.stack([bb.astype(jnp.float32) for bb in bias3], axis=0)
+    assert ln is not None
+    x2, e2 = x.reshape(-1, K), e.reshape(-1, K)
+
+    in_specs = [pl.BlockSpec((C * Lx, K), lambda i: (i, 0)),
+                pl.BlockSpec((C * Le, K), lambda i: (i, 0))] + \
+               [pl.BlockSpec((K, N), lambda i: (0, 0))] * 3 + \
+               [pl.BlockSpec((3, N), lambda i: (0, 0))] * 2 + \
+               [pl.BlockSpec((1, K), lambda i: (0, 0))] * 2
+    args = [x2, e2] + list(wq3) + [scales, biases,
+                                   ln[0].reshape(1, K), ln[1].reshape(1, K)]
+    outs = pl.pallas_call(
+        functools.partial(_w8a8_kernel3_cat, out_dtype=x.dtype,
+                          lx=Lx, le=Le),
+        grid=(B // C,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((C * Lkv, N), lambda i: (i, 0))] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B * Lkv, N), x.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+    return tuple(o.reshape(B, Lkv, N) for o in outs)
+
+
 def _w8a8_mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                      *rest, out_dtype, has_ln):
     rest = list(rest)

@@ -80,6 +80,35 @@ def test_w8a8_matmul3_matches_singles():
                                    atol=1e-5)
 
 
+def test_w8a8_matmul3_cat_matches_concat():
+    """The VMEM-stitched two-input qkv kernel (sublane-aligned serving
+    layout) must equal w8a8_matmul3 over the HBM-concatenated kv."""
+    from gava_clip_tpu.ops.int8_matmul import w8a8_matmul3, w8a8_matmul3_cat
+    from gava_clip_tpu.ops.quant import quantize_weight
+    rs = np.random.RandomState(5)
+    B, Lx, Le, K = 4, 16, 8, 32
+    x = jnp.asarray(rs.randn(B, Lx, K).astype(np.float32) * 0.1)
+    e = jnp.asarray(rs.randn(B, Le, K).astype(np.float32) * 0.1)
+    ws = [rs.randn(K, K).astype(np.float32) * 0.05 for _ in range(3)]
+    qs, ss = zip(*[quantize_weight(w) for w in ws])
+    qs = tuple(jnp.asarray(q) for q in qs)
+    ss = tuple(jnp.asarray(s) for s in ss)
+    b3 = tuple(jnp.asarray(rs.randn(K).astype(np.float32) * 0.01)
+               for _ in range(3))
+    ln = (jnp.asarray(rs.rand(K).astype(np.float32) + 0.5),
+          jnp.asarray(rs.randn(K).astype(np.float32) * 0.1))
+
+    got = w8a8_matmul3_cat(x, e, qs, ss, bias3=b3, ln=ln,
+                           clips_per_block=2)
+    kv = jnp.concatenate([x, e], axis=1)
+    want = w8a8_matmul3(kv.reshape(-1, K), qs, ss, bias3=b3, ln=ln)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w).reshape(B, Lx + Le, K),
+            atol=2e-5)
+        assert g.shape == (B, Lx + Le, K)
+
+
 def test_int8_mlp_st_backward_matches_float_reference():
     """Hand-written dx/d_residual of the fused frozen-int8 MLP vs autodiff
     of the float composition on dequantized weights (straight-through:
