@@ -136,7 +136,10 @@ def main():
     from gava_clip_tpu.utils.flagship import (build_zero_shot,
                                               inject_clip_pathologies)
 
-    T, B = 8, 8  # B=8 measured optimal on v5e for both modes
+    # B=8 was optimal pre-aligned-layout; after the round-3 layout fixes
+    # the w8a8 path scales further (measured: B=8 672, B=12 688, B=16 704,
+    # B=24 711, B=32 709 clips/s in one window) — B=16 is the knee.
+    T, B = 8, 16
     ITERS = 100  # long chain amortizes the ~30 ms relay round-trip to <0.1 ms/iter
     model = build_zero_shot(num_frames=T, num_classes=400)
     # the w8a8 accuracy gate is measured on CLIP-pathology weights (LN-gain
