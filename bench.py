@@ -265,6 +265,10 @@ def main():
         return (best[150] - best[30]) / 120 * 1e3
 
     dev_lat_ms = float(device_latency(params_bf16))
+    try:
+        dev_lat_w8a8_ms = round(float(device_latency(params_w8a8)), 2)
+    except Exception:
+        dev_lat_w8a8_ms = None
 
     flops = vit_flops_per_clip(T=T)
     achieved_tflops = clips_per_sec * flops / 1e12
@@ -284,6 +288,7 @@ def main():
                              "channels, heavy-tailed weight rows)",
         "p50_latency_ms_b1": round(p50_ms, 2),
         "device_latency_ms_b1_bf16": round(dev_lat_ms, 2),
+        "device_latency_ms_b1_w8a8": dev_lat_w8a8_ms,
         "batch": B,
         "achieved_tflops_equiv": round(achieved_tflops, 1),
         "flops_per_clip_g": round(flops / 1e9, 1),
