@@ -35,8 +35,9 @@ class VideoClassifier:
         (models/vision.py patchify — same bytes, reordered on host) with the
         normalization FOLDED into the patch-embed weights, so the prologue
         is one contiguous GEMM: no conv relayout, no normalize pass, and in
-        w8a8 mode the embed runs on the int8 MXU (bench: 578.5 vs 566
-        clips/s). The host-side patchify is a cheap numpy relayout."""
+        w8a8 mode the embed runs on the int8 MXU (bench: 710.9 clips/s
+        w8a8+patch-major vs 698.9 w8a8-frames at B=16). The host-side
+        patchify is a cheap numpy relayout."""
         import jax
         import jax.numpy as jnp
         self.model = model
