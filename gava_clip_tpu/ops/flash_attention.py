@@ -71,10 +71,20 @@ def _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
                                head_dim, store):
     """Core of _onepass_softmax_av with an explicit valid-key mask
     (colmask: None or (1, Lk) {0,1} fp32) — callers with a non-prefix
-    valid-key layout (the stitched two-source kernel) build their own."""
+    valid-key layout (the stitched two-source kernel) build their own.
+
+    The softmax denominator rides the AV dot: a ones column is appended to
+    each head's v slice in VMEM, so `e @ [v_h | 1]` yields the (Lq, Dh)
+    numerator AND the row sums in ONE MXU dot — the Dh+1-wide output costs
+    the same single 128-lane tile pass as Dh=64 alone, eliminating the
+    separate `e @ ones(Lk, 128)` dot (1 of the 3 MXU dots per head).
+    Garbage/padded key rows need no ones-masking: their e columns are
+    already 0 (colmask or zeroed k rows -> clamped exp of 0... note exp2 of
+    0 is 1 — which is exactly why zeroed-score columns MUST be colmasked,
+    as they always were)."""
     Lk = k.shape[0]
     c = scale * 1.4426950408889634                    # fold scale into exp2
-    ones = jnp.ones((Lk, 128), v.dtype)
+    ones_col = jnp.ones((Lk, 1), v.dtype)
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         s = jax.lax.dot_general(
@@ -84,9 +94,10 @@ def _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
         if colmask is not None:
             e = e * colmask
         e = e.astype(v.dtype)
-        out = jnp.dot(e, v[:, sl], preferred_element_type=jnp.float32)
-        denom = jnp.dot(e, ones, preferred_element_type=jnp.float32)[:, :1]
-        store(sl, out / jnp.maximum(denom, 1e-30))
+        v_aug = jnp.concatenate([v[:, sl], ones_col], axis=1)
+        out = jnp.dot(e, v_aug, preferred_element_type=jnp.float32)
+        denom = out[:, head_dim:head_dim + 1]
+        store(sl, out[:, :head_dim] / jnp.maximum(denom, 1e-30))
 
 
 def _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim,
@@ -104,10 +115,10 @@ def _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim,
     margin below fp32's 2^127 keeps the row sums and the e@v accumulator
     finite even with every key at the clamp: 2^110 * Lk * |v| < 2^128
     for Lk <= 640), the padded-key-column mask is a broadcast {0,1}
-    multiply, and the store cast fuses in. The softmax
-    denominator comes off the MXU (`e @ ones` column block, min lane tile
-    128 wide) and the divide happens on the (Lq, head_dim) AV output —
-    head_dim/Lk of the elements.
+    multiply, and the store cast fuses in. The softmax denominator rides
+    the AV dot itself (ones column appended to v in VMEM — see
+    _onepass_softmax_av_masked) and the divide happens on the
+    (Lq, head_dim) AV output — head_dim/Lk of the elements.
 
     `store(h_slice, out)` receives each head's normalized (Lq, head_dim)
     fp32 output.
@@ -146,8 +157,9 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
       * e = exp2(clamp(s*c) at 110) * colmask, stored bf16 (pass 1);
       * ds = e * inv_denom * (dp - delta), stored bf16 (pass 2).
     Everything else rides the MXU or narrow (Lq, head_dim) tiles:
-    denom = e @ ones; o = (e @ v) * inv_denom recomputes the forward
-    output so delta = rowsum(do * o) needs only a head_dim-wide reduce
+    o = (e @ [v | 1]) * inv_denom recomputes the forward output (with the
+    softmax denominator riding the same dot's extra column) so
+    delta = rowsum(do * o) needs only a head_dim-wide reduce
     (the classic flash-bwd delta trick); dv = e^T @ (do * inv_denom)
     pushes the normalization onto do's rows instead of p's tile.
 
@@ -165,7 +177,7 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
     if lk_valid < Lk:
         colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, Lk), 1)
                    < lk_valid).astype(jnp.float32)
-    ones = jnp.ones((Lk, 128), v.dtype)
+    ones_col = jnp.ones((Lk, 1), v.dtype)
     contract_q = (((0,), (0,)), ((), ()))     # (Lq,Lk) x (Lq,Dh) -> (Lk,Dh)
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -176,9 +188,13 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
         if colmask is not None:
             e = e * colmask
         e = e.astype(v.dtype)                                   # pass 1
-        denom = jnp.dot(e, ones, preferred_element_type=jnp.float32)[:, :1]
-        inv_d = 1.0 / jnp.maximum(denom, 1e-30)                 # (Lq, 1)
-        o = jnp.dot(e, vh, preferred_element_type=jnp.float32) * inv_d
+        # denominator rides the o-recompute dot: e @ [v_h | 1] gives the AV
+        # numerator and the row sums in one MXU pass (Dh+1 <= one 128-lane
+        # output tile), dropping the separate e @ ones(Lk, 128) dot
+        o_aug = jnp.dot(e, jnp.concatenate([vh, ones_col], axis=1),
+                        preferred_element_type=jnp.float32)
+        inv_d = 1.0 / jnp.maximum(o_aug[:, head_dim:head_dim + 1], 1e-30)
+        o = o_aug[:, :head_dim] * inv_d
         delta = jnp.sum(doh.astype(jnp.float32) * o, axis=-1,
                         keepdims=True)                          # (Lq, 1)
         dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
