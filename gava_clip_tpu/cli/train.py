@@ -149,7 +149,7 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
         _fa.enable_clamp_monitor(True)
     # rematerialize the vision blocks for long clips (T=70 flagship);
     # short clips fit activations in HBM without recompute
-    remat = getattr(args, "remat_policy", "full") \
+    remat = getattr(args, "remat_policy", "save_attn_qkv") \
         if args.num_frames >= 16 else False
     mean, std = _mean_std(args)
 

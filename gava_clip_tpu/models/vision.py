@@ -430,11 +430,35 @@ def vision_encoder(params, x: jax.Array, cfg: VisionConfig,
     # whole block in backward (lowest memory); "dots" saves GEMM outputs and
     # recomputes only the batched attention einsums + elementwise ops
     # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable — the
-    # transformer-standard policy, trading HBM for ~half the recompute)
+    # transformer-standard policy, trading HBM for ~half the recompute);
+    # "save_attn" recomputes the block EXCEPT the flash-attention kernel
+    # output (named 'attn_out' in ops/attention.py — skips the ~0.85
+    # ms/layer flash forward re-run for ~84 MB/layer at the flagship train
+    # shape); "save_attn_qkv" also keeps the q/k/v projections ('qkv',
+    # ops/attention.py) so NOTHING upstream of the flash backward is
+    # recomputed (the LN1+qkv GEMM re-run disappears); "save_attn_mlp"
+    # additionally saves the pre-activation MLP hidden ('mlp_h',
+    # ops/linear.py — drops the fc1 recompute, but the 4x-width residual's
+    # HBM round-trip costs about what the recompute did at the flagship
+    # shape, so save_attn_qkv is the measured default)
     if remat == "dots":
         body = jax.checkpoint(
             scan_body,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif remat == "save_attn":
+        body = jax.checkpoint(
+            scan_body,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out"))
+    elif remat == "save_attn_qkv":
+        body = jax.checkpoint(
+            scan_body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "qkv"))
+    elif remat == "save_attn_mlp":
+        body = jax.checkpoint(
+            scan_body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "qkv", "mlp_h"))
     elif remat and remat != "none":
         body = jax.checkpoint(scan_body)
     else:

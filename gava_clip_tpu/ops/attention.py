@@ -42,8 +42,16 @@ def attention_core(q: jax.Array, k: jax.Array, v: jax.Array,
     Dh = D // num_heads
 
     if impl == "flash" and mask is None:
+        from jax.ad_checkpoint import checkpoint_name
+
         from .flash_attention import flash_attention
-        return flash_attention(q, k, v, num_heads, causal=causal)
+        # name the kernel output so a save_only_these_names remat policy
+        # (models/vision.py remat='save_attn') can keep it as a residual:
+        # saving the (B, Lq, D) output skips re-running the flash forward
+        # kernel during backward (measured 1.2 ms/layer at the flagship
+        # train shape) for ~84 MB/layer of HBM. A no-op without the policy.
+        return checkpoint_name(
+            flash_attention(q, k, v, num_heads, causal=causal), "attn_out")
     if causal and mask is None:
         mask = jnp.where(
             jnp.tril(jnp.ones((Lq, Lk), bool)), 0.0, -jnp.inf)
@@ -60,7 +68,8 @@ def attention_core(q: jax.Array, k: jax.Array, v: jax.Array,
         scores = scores + mask.astype(jnp.float32)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), vh)
-    return out.reshape(B, Lq, D)
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(out.reshape(B, Lq, D), "attn_out")
 
 
 def multi_head_attention(params: Dict, q: jax.Array, k: jax.Array,
@@ -85,9 +94,16 @@ def multi_head_attention(params: Dict, q: jax.Array, k: jax.Array,
         qp, kp, vp = (o.reshape(q.shape[:-1] + (o.shape[-1],))
                       for o in outs)
     else:
-        qp = linear(params["q"], q)
-        kp = linear(params["k"], k)
-        vp = linear(params["v"], v)
+        # 'qkv' checkpoint-name: under models/vision.py remat=
+        # 'save_attn_qkv' the three projections are kept as residuals, so
+        # the backward needs NO recompute upstream of the flash kernel
+        # (its residuals ARE q/k/v) and the LN1+qkv GEMM re-run disappears
+        # (~19 ms/step at the flagship shape vs ~10 ms of HBM round-trip
+        # for the saved tensors). No-op without the policy.
+        from jax.ad_checkpoint import checkpoint_name
+        qp = checkpoint_name(linear(params["q"], q), "qkv")
+        kp = checkpoint_name(linear(params["k"], k), "qkv")
+        vp = checkpoint_name(linear(params["v"], v), "qkv")
     out = attention_core(qp, kp, vp, num_heads, mask=mask, impl=impl,
                          causal=causal)
     return linear(params["out"], out)

@@ -36,8 +36,18 @@ def linear(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
 
 def mlp(params: Dict[str, Dict[str, jax.Array]], x: jax.Array,
         act: Callable[[jax.Array], jax.Array]) -> jax.Array:
-    """Two-layer MLP: fc1 -> act -> fc2 (dropout in the reference is 0.0)."""
-    return linear(params["fc2"], act(linear(params["fc1"], x)))
+    """Two-layer MLP: fc1 -> act -> fc2 (dropout in the reference is 0.0).
+
+    The PRE-activation hidden is checkpoint-named 'mlp_h' so a
+    save_only_these_names remat policy (models/vision.py
+    remat='save_attn_mlp') can keep it and skip the fc1 GEMM recompute in
+    backward. Pre-act, not post-act: the activation's own dx needs the
+    pre-act value, and with a frozen fc2 (no dw) the post-act tensor has no
+    backward consumer at all — a post-act tag would be dead weight that XLA
+    DCEs (verified by identical device traces). No-op without the policy."""
+    from jax.ad_checkpoint import checkpoint_name
+    h = checkpoint_name(linear(params["fc1"], x), "mlp_h")
+    return linear(params["fc2"], act(h))
 
 
 def mlp_block(params: Dict, norm_params: Dict, x: jax.Array,

@@ -70,10 +70,34 @@ def compute_losses(outputs: Dict, labels: jax.Array,
     return total, metrics
 
 
+def make_loss_fn(model, loss_cfg: LossConfig, compute_dtype=jnp.float32,
+                 attn_impl: str = "xla", remat="none",
+                 frozen_int8: bool = False, scan_unroll: int = 1):
+    """(trainable, frozen, batch) -> (loss, metrics) — the differentiable
+    core of make_train_step, exposed for tests and custom drivers."""
+
+    def loss_fn(trainable, frozen, batch):
+        if frozen_int8:
+            from ..ops.quant import quantize_frozen_for_train
+            frozen = quantize_frozen_for_train(frozen)
+        params = combine_params(trainable, frozen)
+        outputs = model.apply(params, model.buffers, batch["video"],
+                              memory=batch.get("memory"),
+                              video_nte=batch.get("nte"),
+                              compute_dtype=compute_dtype,
+                              attn_impl=attn_impl, remat=remat,
+                              scan_unroll=scan_unroll)
+        return compute_losses(outputs, batch["labels"],
+                              batch.get("mt_labels"), loss_cfg)
+
+    return loss_fn
+
+
 def make_train_step(model, loss_cfg: LossConfig, optimizer,
                     batch_split: int = 1, compute_dtype=jnp.float32,
                     attn_impl: str = "xla", remat="none",
-                    donate: bool = True, frozen_int8: bool = False):
+                    donate: bool = True, frozen_int8: bool = False,
+                    scan_unroll: int = 1):
     """Build the jitted train step: (state, batch) -> (state, metrics).
 
     remat: False/"none" | True/"full" | "dots" — vision-tower
@@ -92,19 +116,9 @@ def make_train_step(model, loss_cfg: LossConfig, optimizer,
              'memory': (Bm,S,E)?, 'mt_labels': (Bm,)?}
     """
 
-    def loss_fn(trainable, frozen, batch):
-        if frozen_int8:
-            from ..ops.quant import quantize_frozen_for_train
-            frozen = quantize_frozen_for_train(frozen)
-        params = combine_params(trainable, frozen)
-        outputs = model.apply(params, model.buffers, batch["video"],
-                              memory=batch.get("memory"),
-                              video_nte=batch.get("nte"),
-                              compute_dtype=compute_dtype,
-                              attn_impl=attn_impl, remat=remat)
-        return compute_losses(outputs, batch["labels"],
-                              batch.get("mt_labels"), loss_cfg)
-
+    loss_fn = make_loss_fn(model, loss_cfg, compute_dtype=compute_dtype,
+                           attn_impl=attn_impl, remat=remat,
+                           frozen_int8=frozen_int8, scan_unroll=scan_unroll)
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
     def split(x):

@@ -134,16 +134,26 @@ def setup_train_args(parser: argparse.ArgumentParser):
                              'drivers: w8 = weight-only dequant GEMMs, '
                              'w8a8 = int8 MXU path (~566 vs ~448 clips/s '
                              'bf16 on v5e; softmax-prob delta vs bf16 ~1e-4)')
-    # default 'full': with the 2-pass Pallas flash backward, full-block
-    # recompute measures 305.4 ms vs 313.5 for 'dots' at the flagship
-    # B=4 T=70 shape (tools/bench_train_step.py) — recompute is cheap
-    # enough that the lower HBM pressure wins
-    parser.add_argument('--remat_policy', type=str, default='full',
-                        choices=['none', 'full', 'dots'],
+    # default 'save_attn_qkv' (the named selective policy): keep the flash
+    # outputs + q/k/v projections as residuals so the backward re-runs
+    # neither the flash forward kernel nor the LN1+qkv GEMMs. Measured at
+    # the flagship B=4 T=70 shape (tools/profile_train.py device-busy
+    # ms/step): full 275.9, save_attn 265.1, save_attn_qkv 260.7;
+    # save_attn_mlp regresses (the 4x-width pre-act hidden's HBM round-trip
+    # costs more than the fc1 recompute: 304 vs 294 ms wall same-window)
+    parser.add_argument('--remat_policy', type=str, default='save_attn_qkv',
+                        choices=['none', 'full', 'dots', 'save_attn', 'save_attn_qkv',
+                                 'save_attn_mlp'],
                         help='vision-tower rematerialization for long clips: '
                              'full = recompute whole blocks in backward '
                              '(lowest memory), dots = save GEMM outputs, '
-                             'recompute attention einsums only (faster)')
+                             'recompute attention einsums only, save_attn = '
+                             'full but keep the flash-attention outputs '
+                             '(skips the kernel re-run in backward), '
+                             'save_attn_qkv = also keep q/k/v projections '
+                             '(no recompute upstream of the flash backward; '
+                             'measured fastest), save_attn_mlp = also keep '
+                             'the pre-act MLP hiddens (measured slower)')
     # observability (TPU-native addition; reference has print-only timing)
     parser.add_argument('--profile_dir', type=str, default='',
                         help='write a jax.profiler trace of a few train steps here')

@@ -181,3 +181,40 @@ def test_frozen_int8_trains_close_to_bf16(tmp_path):
     tp = np.asarray(finals["fp"]["visual"]["time_embed"])
     tq = np.asarray(finals["int8"]["visual"]["time_embed"])
     np.testing.assert_allclose(tq, tp, atol=5e-3)
+
+
+@pytest.mark.parametrize("remat", ["full", "dots", "save_attn",
+                                   "save_attn_qkv", "save_attn_mlp"])
+def test_remat_policies_match_none(tmp_path, remat):
+    """Rematerialization must be a pure memory/compute trade: every policy
+    (incl. the named save_attn/save_attn_mlp selective policies, which keep
+    the checkpoint-named attention outputs / MLP hiddens as residuals)
+    produces the same loss and the same GRADIENTS as remat='none'.
+
+    Gradients, not post-AdamW params: leaves whose true gradient is ~0
+    carry fp-reassociation noise (~1e-12) that differs per compilation, and
+    Adam's g/(|g|+eps) normalization amplifies that noise into O(lr)
+    param deltas — an artifact of near-zero grads, not of remat."""
+    model = _tiny_model(tmp_path)
+    mask = trainable_mask(model.params, model.cfg)
+    loss_cfg = LossConfig(num_classes=3, use_support_memory=True,
+                          add_nte=True)
+    batch = _batch()
+    from gava_clip_tpu.train.step import make_loss_fn
+
+    def grads(mode):
+        loss_fn = make_loss_fn(model, loss_cfg, remat=mode)
+        state = create_train_state(model.params, mask,
+                                   make_optimizer(1e-2, 10, 0.0))
+        g, metrics = jax.jit(jax.grad(loss_fn, has_aux=True))(
+            state.trainable, state.frozen, batch)
+        return g, metrics
+
+    g0, m0 = grads("none")
+    g1, m1 = grads(remat)
+    np.testing.assert_allclose(float(m1["total"]), float(m0["total"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)

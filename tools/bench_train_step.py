@@ -20,12 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--remat", nargs="+", default=["full", "dots"])
+    ap.add_argument("--remat", nargs="+", default=["full", "save_attn_qkv"])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--frames", type=int, default=70)
     ap.add_argument("--no_donate", action="store_true")
     ap.add_argument("--attn", default="flash")
+    ap.add_argument("--unroll", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -64,7 +65,8 @@ def main():
         step = make_train_step(model, loss_cfg, opt,
                                compute_dtype=jnp.bfloat16,
                                attn_impl=args.attn, remat=remat,
-                               donate=not args.no_donate)
+                               donate=not args.no_donate,
+                               scan_unroll=args.unroll)
         t0 = time.time()
         state, metrics = step(state, batch)
         jax.block_until_ready(metrics["total"])
