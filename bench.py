@@ -94,13 +94,25 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
     state, metrics = step(state, batch)
     jax.block_until_ready(metrics["total"])
     compile_s = time.time() - t0
+    # per-call timing (block every step): includes one serialized-relay
+    # round-trip (~30 ms in this environment) per step — the p50 latency a
+    # synchronous caller sees
     times = []
     for _ in range(steps):
         t0 = time.time()
         state, metrics = step(state, batch)
         jax.block_until_ready(metrics["total"])
         times.append(time.time() - t0)
-    med_ms = float(np.median(times)) * 1e3
+    med_call_ms = float(np.median(times)) * 1e3
+    # pipelined timing (dispatch all steps async, block once): amortizes
+    # the relay RTT the way the real driver does (cli/train.py only fetches
+    # metrics every --print_freq steps), so this is sustained ms/step —
+    # the headline
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total"])
+    med_ms = (time.time() - t0) / steps * 1e3
     flops = flagship_train_flops(B=B, T=T)
     ref_ms = flops / (0.45 * 91e12) * 1e3
     spread = (max(times) - min(times)) / np.median(times)
@@ -113,6 +125,9 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
         "flops_convention": "3x forward (fwd + dx + dw), both sides",
         "ref_estimate_ms": round(ref_ms, 1),
         "compile_s": round(compile_s, 1),
+        "per_call_p50_ms": round(med_call_ms, 1),
+        "per_call_note": "blocking per step adds one relay RTT (~30 ms "
+                         "here); headline is pipelined like the driver",
         "min_ms": round(min(times) * 1e3, 1),
         "max_ms": round(max(times) * 1e3, 1),
         "device": str(jax.devices()[0]),
@@ -320,8 +335,9 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--int8_frozen", action="store_true",
                     help="with --train: int8-forward frozen backbone")
-    ap.add_argument("--remat", default="full",
-                    choices=["none", "full", "dots"],
+    ap.add_argument("--remat", default="save_attn_qkv",
+                    choices=["none", "full", "dots", "save_attn", "save_attn_qkv",
+                             "save_attn_mlp"],
                     help="with --train: rematerialization policy")
     args = ap.parse_args()
     if args.train:
