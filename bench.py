@@ -63,6 +63,8 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
     flagship shape (B=4, T=70 — train_scripts/updrs_3cls_train_tulip.sh),
     TFLOP-equiv/s, and the vs-GPU analytic estimate at the same 45%-MFU
     convention as the inference bench."""
+    _acquire_backend_or_die(
+        float(os.environ.get("GAVA_BENCH_INIT_TIMEOUT_S", "900")))
     import jax
     import jax.numpy as jnp
     from gava_clip_tpu.models.vita_clip import trainable_mask
@@ -144,7 +146,40 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
     }))
 
 
+def _acquire_backend_or_die(timeout_s: float = 900.0):
+    """Initialize the jax backend under a watchdog.
+
+    The TPU here sits behind a serialized stdio relay with intermittent
+    outage windows; during one, PJRT client creation blocks INDEFINITELY
+    (observed: make_c_api_client hung >1 h), which would turn the driver's
+    bench run into a silent hang. Emit a diagnostic JSON line and exit
+    instead — a recorded outage beats a wedged round."""
+    import threading
+
+    ok = threading.Event()
+
+    def init():
+        import jax
+        jax.devices()
+        ok.set()
+
+    t = threading.Thread(target=init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        print(json.dumps({
+            "metric": "clips/sec/chip (ViT-B/16, 8-frame, zero-shot forward)",
+            "value": None, "unit": "clips/s", "vs_baseline": None,
+            "error": f"TPU backend init did not complete within "
+                     f"{timeout_s:.0f}s — the stdio relay is in an outage "
+                     f"window (CLAUDE.md); re-run when it recovers",
+        }), flush=True)
+        os._exit(2)
+
+
 def main():
+    _acquire_backend_or_die(
+        float(os.environ.get("GAVA_BENCH_INIT_TIMEOUT_S", "900")))
     import jax
     import jax.numpy as jnp
     from gava_clip_tpu.ops.quant import quantize_tower_params
