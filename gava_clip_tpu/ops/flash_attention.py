@@ -18,8 +18,10 @@ path):
        Lq=197/Lk=214, bf16): 0.27 ms/layer vs 0.53 for the XLA einsum
        composition; the int8-out fused variant runs 0.30 ms/layer.
      * backward: same whole-row layout; recomputes the forward's exact
-       exp2-clamp softmax in VMEM (no lse/probs residuals in HBM at all)
-       in 2 elementwise passes and emits dq/dk/dv from one kernel.
+       exp2-clamp softmax weights in VMEM (no probs residuals in HBM —
+       only the forward output and the tiny (B, Lq, H) per-head denominator
+       ride along as residuals) in 2 elementwise passes and emits dq/dk/dv
+       from one kernel.
 
 2. **Streaming flash** for long sequences and the causal text tower: wraps
    the stock `jax.experimental.pallas.ops.tpu.flash_attention` (KV-blocked
@@ -68,7 +70,7 @@ def _zero_tail_rows(x, valid: int):
     return jnp.where(rows < valid, x, jnp.zeros_like(x))
 
 def _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
-                               head_dim, store):
+                               head_dim, store, store_den=None):
     """Core of _onepass_softmax_av with an explicit valid-key mask
     (colmask: None or (1, Lk) {0,1} fp32) — callers with a non-prefix
     valid-key layout (the stitched two-source kernel) build their own.
@@ -78,10 +80,10 @@ def _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
     numerator AND the row sums in ONE MXU dot — the Dh+1-wide output costs
     the same single 128-lane tile pass as Dh=64 alone, eliminating the
     separate `e @ ones(Lk, 128)` dot (1 of the 3 MXU dots per head).
-    Garbage/padded key rows need no ones-masking: their e columns are
-    already 0 (colmask or zeroed k rows -> clamped exp of 0... note exp2 of
-    0 is 1 — which is exactly why zeroed-score columns MUST be colmasked,
-    as they always were)."""
+    The ones column needs no masking for garbage/padded key rows: their e
+    columns are forced to 0 by colmask (zeroing k alone would NOT do it —
+    a zero score still exps to 1 — which is why padded columns were always
+    colmasked, in the old separate-denominator form too)."""
     Lk = k.shape[0]
     c = scale * 1.4426950408889634                    # fold scale into exp2
     ones_col = jnp.ones((Lk, 1), v.dtype)
@@ -98,10 +100,12 @@ def _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
         out = jnp.dot(e, v_aug, preferred_element_type=jnp.float32)
         denom = out[:, head_dim:head_dim + 1]
         store(sl, out[:, :head_dim] / jnp.maximum(denom, 1e-30))
+        if store_den is not None:
+            store_den(h, denom)
 
 
 def _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim,
-                        store):
+                        store, store_den=None):
     """Whole-row attention with the single-elementwise-pass softmax.
 
     Every elementwise traversal of the num_heads (Lq, Lk) fp32 score tiles
@@ -129,7 +133,7 @@ def _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim,
         colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, Lk), 1)
                    < lk_valid).astype(jnp.float32)
     _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
-                               head_dim, store)
+                               head_dim, store, store_den)
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
@@ -144,59 +148,80 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim, store)
 
 
-def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
+def _attention_kernel_den(q_ref, k_ref, v_ref, o_ref, den_ref, *,
+                          scale: float, lk_valid: int, num_heads: int,
+                          head_dim: int):
+    """_attention_kernel that also emits the per-head softmax denominators
+    (B, Lq, H fp32) — saved as custom-VJP residuals so the backward kernel
+    needs no output/denominator recompute dot (see _attention_bwd_kernel)."""
+    q = q_ref[0]
+    k = _zero_tail_rows(k_ref[0], lk_valid)
+    v = _zero_tail_rows(v_ref[0], lk_valid)
+
+    def store(sl, out):
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+    def store_den(h, denom):
+        den_ref[0, :, h:h + 1] = denom
+
+    _onepass_softmax_av(q, k, v, lk_valid, scale, num_heads, head_dim,
+                        store, store_den)
+
+
+def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, den_ref,
                           dq_ref, dk_ref, dv_ref, *, scale: float,
                           lq_valid: int, lk_valid: int, num_heads: int,
                           head_dim: int):
-    """Whole-row flash backward with the single-pass softmax recompute.
+    """Whole-row flash backward consuming the SAVED forward output and
+    per-head softmax denominators (emitted by _attention_kernel_den, kept
+    as custom-VJP residuals — under the save_attn* remat policies they are
+    checkpoint-named so no forward re-run is needed to produce them).
 
-    Matches the forward's exp2-clamp softmax bit-for-bit (same `e`
-    expression), and keeps the wide (Lq, Lk) elementwise work to TWO passes
-    per head — the dominant cost at these shapes (~0.15 ms per pass per
-    layer at the bench shape, 4x the MXU dots):
+    Per head this keeps: the score recompute dot (s), the exp pass, the
+    dp dot, the ds pass, and the three gradient dots — the o-recompute
+    `e @ [v | 1]` dot of the previous version is gone (saved o gives
+    delta = rowsum(do * o) directly; saved denom gives inv_d).
+    Wide (Lq, Lk) elementwise work stays at TWO passes per head (the
+    dominant cost at these shapes, ~4x the MXU dots):
       * e = exp2(clamp(s*c) at 110) * colmask, stored bf16 (pass 1);
       * ds = e * inv_denom * (dp - delta), stored bf16 (pass 2).
-    Everything else rides the MXU or narrow (Lq, head_dim) tiles:
-    o = (e @ [v | 1]) * inv_denom recomputes the forward output (with the
-    softmax denominator riding the same dot's extra column) so
-    delta = rowsum(do * o) needs only a head_dim-wide reduce
-    (the classic flash-bwd delta trick); dv = e^T @ (do * inv_denom)
-    pushes the normalization onto do's rows instead of p's tile.
+    dv = e^T @ (do * inv_denom) pushes the normalization onto do's rows
+    instead of p's tile.
 
     Partial-tile hygiene: q/do garbage rows are zeroed, so their dp/delta
     and hence ds rows are exactly 0 (no dk/dv contamination; their dq rows
-    are never stored). k/v garbage rows are zeroed AND their e columns
-    masked to 0, so dk/dv garbage rows receive exactly 0."""
+    are never stored). o and den garbage rows are zeroed too — loaded
+    partial-tile bits can decode as NaN, and 0 (from zeroed do) * NaN = NaN
+    would poison delta; with den zeroed, inv_d clamps to a finite 1e30 and
+    every garbage-row product still multiplies a hard 0. k/v garbage rows
+    are zeroed AND their e columns masked to 0, so dk/dv garbage rows
+    receive exactly 0."""
     q = _zero_tail_rows(q_ref[0], lq_valid)
     k = _zero_tail_rows(k_ref[0], lk_valid)
     v = _zero_tail_rows(v_ref[0], lk_valid)
     do = _zero_tail_rows(do_ref[0], lq_valid)
-    Lq, Lk = q.shape[0], k.shape[0]
+    o = _zero_tail_rows(o_ref[0], lq_valid)
+    den = _zero_tail_rows(den_ref[0], lq_valid)            # (Lq, H) fp32
+    Lk = k.shape[0]
     c = scale * 1.4426950408889634
     colmask = None
     if lk_valid < Lk:
         colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, Lk), 1)
                    < lk_valid).astype(jnp.float32)
-    ones_col = jnp.ones((Lk, 1), v.dtype)
     contract_q = (((0,), (0,)), ((), ()))     # (Lq,Lk) x (Lq,Dh) -> (Lk,Dh)
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        inv_d = 1.0 / jnp.maximum(den[:, h:h + 1], 1e-30)   # (Lq, 1)
+        delta = jnp.sum(doh.astype(jnp.float32)
+                        * o[:, sl].astype(jnp.float32), axis=-1,
+                        keepdims=True)                      # (Lq, 1)
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         e = jnp.exp2(jnp.minimum(s * c, 110.0))
         if colmask is not None:
             e = e * colmask
         e = e.astype(v.dtype)                                   # pass 1
-        # denominator rides the o-recompute dot: e @ [v_h | 1] gives the AV
-        # numerator and the row sums in one MXU pass (Dh+1 <= one 128-lane
-        # output tile), dropping the separate e @ ones(Lk, 128) dot
-        o_aug = jnp.dot(e, jnp.concatenate([vh, ones_col], axis=1),
-                        preferred_element_type=jnp.float32)
-        inv_d = 1.0 / jnp.maximum(o_aug[:, head_dim:head_dim + 1], 1e-30)
-        o = o_aug[:, :head_dim] * inv_d
-        delta = jnp.sum(doh.astype(jnp.float32) * o, axis=-1,
-                        keepdims=True)                          # (Lq, 1)
         dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = (e.astype(jnp.float32) * inv_d * (dp - delta)
@@ -219,7 +244,7 @@ def _pad_seq(x, Lp):
 
 
 def _packed_forward(q: jax.Array, k: jax.Array, v: jax.Array,
-                    num_heads: int) -> jax.Array:
+                    num_heads: int, want_denom: bool = False):
     B, Lq, D = q.shape
     Lk = k.shape[1]
     head_dim = D // num_heads
@@ -237,23 +262,43 @@ def _packed_forward(q: jax.Array, k: jax.Array, v: jax.Array,
     interp = jax.default_backend() != "tpu"
     if interp:
         q, k, v = _pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp)
+    Lqo = Lqp if interp else Lq
 
     blk_q = pl.BlockSpec((1, Lqp, D), lambda b: (b, 0, 0))
     blk_kv = pl.BlockSpec((1, Lkp, D), lambda b: (b, 0, 0))
+    if want_denom:
+        # denom: per-head softmax row sums, (B, Lq, H) fp32 — a tiny extra
+        # output that lets the backward kernel skip the output/denominator
+        # recompute dot entirely (residuals of _packed_flash)
+        blk_den = pl.BlockSpec((1, Lqp, num_heads), lambda b: (b, 0, 0))
+        out, den = pl.pallas_call(
+            functools.partial(_attention_kernel_den, scale=head_dim ** -0.5,
+                              lk_valid=Lk, num_heads=num_heads,
+                              head_dim=head_dim),
+            grid=(B,),
+            in_specs=[blk_q, blk_kv, blk_kv],
+            out_specs=[blk_q, blk_den],
+            out_shape=[jax.ShapeDtypeStruct((B, Lqo, D), q.dtype),
+                       jax.ShapeDtypeStruct((B, Lqo, num_heads),
+                                            jnp.float32)],
+            compiler_params=_PARALLEL_1D,
+            interpret=interp,
+        )(q, k, v)
+        return (out[:, :Lq], den[:, :Lq]) if interp else (out, den)
     out = pl.pallas_call(
         functools.partial(_attention_kernel, scale=head_dim ** -0.5,
                           lk_valid=Lk, num_heads=num_heads, head_dim=head_dim),
         grid=(B,),
         in_specs=[blk_q, blk_kv, blk_kv],
         out_specs=blk_q,
-        out_shape=jax.ShapeDtypeStruct((B, Lqp if interp else Lq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Lqo, D), q.dtype),
         compiler_params=_PARALLEL_1D,
         interpret=interp,  # CPU tests run interpreted
     )(q, k, v)
     return out[:, :Lq] if interp else out
 
 
-def _packed_backward(q, k, v, do, num_heads: int):
+def _packed_backward(q, k, v, do, o, den, num_heads: int):
     B, Lq, D = q.shape
     Lk = k.shape[1]
     head_dim = D // num_heads
@@ -265,24 +310,25 @@ def _packed_backward(q, k, v, do, num_heads: int):
     interp = jax.default_backend() != "tpu"
     if interp:
         q, k, v = _pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp)
-        do = _pad_seq(do, Lqp)
+        do, o, den = _pad_seq(do, Lqp), _pad_seq(o, Lqp), _pad_seq(den, Lqp)
     Lqo, Lko = (Lqp, Lkp) if interp else (Lq, Lk)
 
     blk_q = pl.BlockSpec((1, Lqp, D), lambda b: (b, 0, 0))
     blk_kv = pl.BlockSpec((1, Lkp, D), lambda b: (b, 0, 0))
+    blk_den = pl.BlockSpec((1, Lqp, num_heads), lambda b: (b, 0, 0))
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attention_bwd_kernel, scale=head_dim ** -0.5,
                           lq_valid=Lq, lk_valid=Lk, num_heads=num_heads,
                           head_dim=head_dim),
         grid=(B,),
-        in_specs=[blk_q, blk_kv, blk_kv, blk_q],
+        in_specs=[blk_q, blk_kv, blk_kv, blk_q, blk_q, blk_den],
         out_specs=[blk_q, blk_kv, blk_kv],
         out_shape=[jax.ShapeDtypeStruct((B, Lqo, D), q.dtype),
                    jax.ShapeDtypeStruct((B, Lko, D), k.dtype),
                    jax.ShapeDtypeStruct((B, Lko, D), v.dtype)],
         compiler_params=_PARALLEL_1D,
         interpret=interp,
-    )(q, k, v, do)
+    )(q, k, v, do, o, den)
     return dq[:, :Lq], dk[:, :Lk], dv[:, :Lk]
 
 
@@ -292,12 +338,21 @@ def _packed_flash(q, k, v, num_heads):
 
 
 def _packed_fwd(q, k, v, num_heads):
-    return _packed_forward(q, k, v, num_heads), (q, k, v)
+    from jax.ad_checkpoint import checkpoint_name
+    # the differentiated forward also emits the per-head softmax
+    # denominators; o and den ride as residuals so the backward kernel has
+    # no output-recompute dot. Both are checkpoint-named 'attn_out' so the
+    # save_attn* remat policies (models/vision.py) keep them — otherwise
+    # rematerializing den would re-run this kernel and undo the saving.
+    out, den = _packed_forward(q, k, v, num_heads, want_denom=True)
+    out = checkpoint_name(out, "attn_out")
+    den = checkpoint_name(den, "attn_out")
+    return out, (q, k, v, out, den)
 
 
 def _packed_bwd(num_heads, res, g):
-    q, k, v = res
-    return _packed_backward(q, k, v, g, num_heads)
+    q, k, v, o, den = res
+    return _packed_backward(q, k, v, g, o, den, num_heads)
 
 
 _packed_flash.defvjp(_packed_fwd, _packed_bwd)
