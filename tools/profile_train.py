@@ -29,12 +29,16 @@ def categorize(name: str) -> str:
         # pallas kernels keep their python-side names
         m = re.search(r"(flash|w8a8|int8|attn|matmul|mlp|qkv)[\w\d_]*", n)
         return f"pallas:{m.group(0)}" if m else "custom-call"
-    for k in ("fusion", "convolution", "dot", "copy", "transpose", "reshape",
+    for k in ("convolution", "dot", "copy", "transpose", "reshape",
               "bitcast", "concatenate", "scatter", "gather", "reduce",
               "all-reduce", "dynamic-slice", "dynamic-update-slice", "select",
               "broadcast", "iota", "convert", "pad", "slice"):
         if n.startswith(k) or f" {k}" in n[:40]:
             return k
+    # XLA fusion names embed their op recipe (add_add_fusion.6,
+    # convert_reduce_fusion.32) — anything *_fusion is a fusion
+    if "fusion" in n:
+        return "fusion"
     return "other"
 
 
