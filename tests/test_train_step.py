@@ -218,3 +218,31 @@ def test_remat_policies_match_none(tmp_path, remat):
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_save_attn_policy_eliminates_flash_rerun(tmp_path):
+    """Structural pin for the save_attn* remat policies: under remat='full'
+    the backward re-runs the flash forward kernel (one extra pallas_call in
+    the grad jaxpr); with the checkpoint-named outputs saved it must not.
+    Trace-only (no execution), so it runs with attn_impl='flash' on CPU."""
+    import re
+    from gava_clip_tpu.train.step import make_loss_fn
+
+    model = _tiny_model(tmp_path)
+    mask = trainable_mask(model.params, model.cfg)
+    state = create_train_state(model.params, mask,
+                               make_optimizer(1e-3, 10, 0.0))
+    loss_cfg = LossConfig(num_classes=3, use_support_memory=True,
+                          add_nte=True)
+    batch = _batch()
+
+    def n_pallas(mode):
+        lf = make_loss_fn(model, loss_cfg, remat=mode, attn_impl="flash")
+        jaxpr = jax.make_jaxpr(jax.grad(lf, has_aux=True))(
+            state.trainable, state.frozen, batch)
+        return len(re.findall(r"pallas_call\[", str(jaxpr)))
+
+    full, saved = n_pallas("full"), n_pallas("save_attn_qkv")
+    assert saved == full - 1, (
+        f"save_attn_qkv should eliminate exactly the flash-forward re-run "
+        f"from the backward: full={full}, save_attn_qkv={saved}")
