@@ -246,3 +246,22 @@ def test_save_attn_policy_eliminates_flash_rerun(tmp_path):
     assert saved == full - 1, (
         f"save_attn_qkv should eliminate exactly the flash-forward re-run "
         f"from the backward: full={full}, save_attn_qkv={saved}")
+
+
+def test_save_attn_qkv_on_mesh(tmp_path):
+    """The named-selective remat policy must compose with GSPMD batch
+    sharding (checkpoint_name residuals under a mesh). 2 devices, not 8:
+    the policy's extra residual thunks between collectives aggravate the
+    1-core virtual-mesh rendezvous-timeout quirk (CLAUDE.md) at 8."""
+    model = _tiny_model(tmp_path)
+    mesh = create_mesh(n_devices=2, devices=jax.devices()[:2])
+    mask = trainable_mask(model.params, model.cfg)
+    opt = make_optimizer(lr=1e-3, num_steps=10, weight_decay=0.0)
+    state = replicate(create_train_state(model.params, mask, opt), mesh)
+    loss_cfg = LossConfig(num_classes=3, use_support_memory=True,
+                          add_nte=True)
+    step = make_train_step(model, loss_cfg, opt, donate=False,
+                           remat="save_attn_qkv")
+    batch = shard_batch(_batch(B=4, Bm=4), mesh)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total"]))
