@@ -22,3 +22,6 @@ echo "== 4. train bench JSON =="
 timeout 1200 python bench.py --train --steps 15 2>&1 | tee $OUT/bench_train.json
 
 echo "== queued bench done =="
+
+echo "== 5. batch sweep with the denominator-fused kernel =="
+timeout 1200 python tools/bench_pm_sweep.py 2>&1 | tee $OUT/pm_sweep.txt
