@@ -7,7 +7,6 @@ MXU layout. The torch-checkpoint converter transposes torch's (out, in).
 from typing import Callable, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 
 def linear(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:

@@ -12,7 +12,6 @@ gradient averaging, replacing the reference's Python slice loop
 """
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
