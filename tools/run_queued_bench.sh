@@ -3,7 +3,7 @@
 # healthy — probe first with: timeout 60 python -c "import jax; print(jax.devices())").
 # Captures everything under /tmp/queued_bench/.
 set -u
-OUT=/tmp/queued_bench
+OUT=/root/repo/queued_bench_r03
 mkdir -p $OUT
 cd "$(dirname "$0")/.."
 
