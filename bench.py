@@ -64,7 +64,8 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
     TFLOP-equiv/s, and the vs-GPU analytic estimate at the same 45%-MFU
     convention as the inference bench."""
     _acquire_backend_or_die(
-        float(os.environ.get("GAVA_BENCH_INIT_TIMEOUT_S", "900")))
+        float(os.environ.get("GAVA_BENCH_INIT_TIMEOUT_S", "900")),
+        metric=TRAIN_METRIC, unit="ms")
     import jax
     import jax.numpy as jnp
     from gava_clip_tpu.models.vita_clip import trainable_mask
@@ -138,7 +139,7 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
         extra["warning"] = ("high step variance — tunnel may be degraded "
                             "(CLAUDE.md); healthy-state ~305 ms")
     print(json.dumps({
-        "metric": "train ms/step (flagship ViT-B/16, B=4, T=70, full loss)",
+        "metric": TRAIN_METRIC,
         "value": round(med_ms, 1),
         "unit": "ms",
         "vs_baseline": round(ref_ms / med_ms, 3),
@@ -146,14 +147,21 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
     }))
 
 
-def _acquire_backend_or_die(timeout_s: float = 900.0):
+INFER_METRIC = "clips/sec/chip (ViT-B/16, 8-frame, zero-shot forward)"
+TRAIN_METRIC = "train ms/step (flagship ViT-B/16, B=4, T=70, full loss)"
+
+
+def _acquire_backend_or_die(timeout_s: float = 900.0,
+                            metric: str = INFER_METRIC,
+                            unit: str = "clips/s"):
     """Initialize the jax backend under a watchdog.
 
     The TPU here sits behind a serialized stdio relay with intermittent
     outage windows; during one, PJRT client creation blocks INDEFINITELY
     (observed: make_c_api_client hung >1 h), which would turn the driver's
-    bench run into a silent hang. Emit a diagnostic JSON line and exit
-    instead — a recorded outage beats a wedged round."""
+    bench run into a silent hang. Emit a diagnostic JSON line (under the
+    metric name of the bench mode that failed) and exit instead — a
+    recorded outage beats a wedged round."""
     import threading
 
     ok = threading.Event()
@@ -168,8 +176,8 @@ def _acquire_backend_or_die(timeout_s: float = 900.0):
     t.join(timeout_s)
     if not ok.is_set():
         print(json.dumps({
-            "metric": "clips/sec/chip (ViT-B/16, 8-frame, zero-shot forward)",
-            "value": None, "unit": "clips/s", "vs_baseline": None,
+            "metric": metric,
+            "value": None, "unit": unit, "vs_baseline": None,
             "error": f"TPU backend init did not complete within "
                      f"{timeout_s:.0f}s — the stdio relay is in an outage "
                      f"window (CLAUDE.md); re-run when it recovers",
@@ -354,7 +362,7 @@ def main():
                             "tunnel issue); healthy-state: ~510 clips/s w8a8, "
                             "~400 bf16")
     print(json.dumps({
-        "metric": "clips/sec/chip (ViT-B/16, 8-frame, zero-shot forward)",
+        "metric": INFER_METRIC,
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / ref_clips_per_sec, 3),

@@ -15,6 +15,7 @@ import argparse
 import os
 import os.path as osp
 import time
+import weakref
 from datetime import datetime
 from typing import List, Optional
 
@@ -69,20 +70,24 @@ def _mean_std(args):
 
 
 # jitted eval steps are cached per (model, shape) so repeated eval passes in
-# one fold reuse the compiled executable instead of re-tracing
-_EVAL_STEP_CACHE = {}
+# one fold reuse the compiled executable instead of re-tracing. Keyed on the
+# model OBJECT via a WeakKeyDictionary — id(model) is recyclable after GC
+# (a later model at a reused address would silently get a step closing over
+# the dead one) and an id-keyed dict grows unboundedly across folds.
+_EVAL_STEP_CACHE = weakref.WeakKeyDictionary()
 
 
 def _get_eval_step(model, num_classes, mean, std, compute_dtype, attn_impl,
                    num_views):
     from ..train.step import make_eval_step
-    key = (id(model), num_classes, tuple(mean), tuple(std),
+    key = (num_classes, tuple(mean), tuple(std),
            str(compute_dtype), attn_impl, num_views)
-    if key not in _EVAL_STEP_CACHE:
-        _EVAL_STEP_CACHE[key] = make_eval_step(
+    per_model = _EVAL_STEP_CACHE.setdefault(model, {})
+    if key not in per_model:
+        per_model[key] = make_eval_step(
             model, num_classes, compute_dtype=compute_dtype,
             attn_impl=attn_impl, mean=mean, std=std, num_views=num_views)
-    return _EVAL_STEP_CACHE[key]
+    return per_model[key]
 
 
 def evaluate(model, params, loader, num_classes: int, mean, std,

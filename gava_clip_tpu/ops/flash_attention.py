@@ -437,7 +437,11 @@ def _monitor_clamp(q, k, num_heads):
     qh = q.reshape(B, Lq, num_heads, Dh).astype(jnp.float32)
     kh = k.reshape(B, k.shape[1], num_heads, Dh).astype(jnp.float32)
     s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)
-    jax.debug.callback(_record_max_arg, jnp.max(jnp.abs(s)) * c)
+    # the kernel clamp is one-sided — min(s*c, 110) only saturates POSITIVE
+    # scaled logits — so only the positive max counts toward drift (a large
+    # negative logit underflows exp2 harmlessly and must not flag 'clipped')
+    jax.debug.callback(_record_max_arg,
+                       jnp.maximum(jnp.max(s), 0.0) * c)
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,

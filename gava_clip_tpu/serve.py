@@ -74,10 +74,15 @@ class VideoClassifier:
             self.params = quantize_tower_params(
                 params, act_quant=(quantize == "w8a8"))
         else:
-            # bf16 weights: halves HBM traffic and host->device bytes
+            # bf16 weights: halves HBM traffic and host->device bytes.
+            # dtype is inspected WITHOUT np.asarray — materializing a
+            # device-committed leaf through the serialized relay just to
+            # read its dtype is the trap quant.prepare_inference_params
+            # already fixed (ADVICE r3)
             self.params = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)
-                if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+                if hasattr(x, "astype")
+                and jnp.issubdtype(x.dtype, jnp.floating) else x,
                 params)
         # commit weights to device once (numpy args re-transfer every call)
         if mesh is not None:

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-4 queued TPU measurement suite. Fired ONCE by tools/arm_queued_bench.sh
+# on the first healthy relay probe (or run by hand after probing with:
+#   timeout 60 python -c "import jax; print(jax.devices())").
+#
+# Covers VERDICT r3 items:
+#   #1 driver-style inference + train bench JSONs (the >=5x capture)
+#   #2 saved-residual flash backward re-timing (remat sweep vs the
+#      pre-change 260.7 ms device-busy record)
+# Outputs land in /root/repo/queued_bench_r04/ and get committed by the
+# builder when the run completes.
+set -u
+OUT=/root/repo/queued_bench_r04
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+echo "== 0. device probe ==" | tee "$OUT/probe.txt"
+timeout 120 python -c "import jax,time; t=time.time(); d=jax.devices(); print(d, f'{time.time()-t:.1f}s')" 2>&1 | tee -a "$OUT/probe.txt"
+
+echo "== 1. inference bench (headline JSON) =="
+timeout 1500 python bench.py 2>&1 | tee "$OUT/bench_infer.json"
+
+echo "== 2. train bench JSON (save_attn_qkv — saved-residual bwd) =="
+timeout 1500 python bench.py --train --steps 15 2>&1 | tee "$OUT/bench_train.json"
+
+echo "== 3. train-step remat sweep (saved-residual bwd re-timing) =="
+timeout 1800 python tools/bench_train_step.py \
+    --remat full save_attn save_attn_qkv --steps 12 2>&1 | tee "$OUT/remat_sweep.txt"
+
+echo "== 4. scan_unroll sweep at save_attn_qkv =="
+timeout 1200 python tools/bench_train_step.py \
+    --remat save_attn_qkv --steps 12 --unroll 12 2>&1 | tee "$OUT/unroll12.txt"
+
+echo "== 5. serving batch sweep with the denominator-fused kernel =="
+timeout 1200 python tools/bench_pm_sweep.py 2>&1 | tee "$OUT/pm_sweep.txt"
+
+echo "== 6. per-layer bwd kernel self-time (profile_train) =="
+timeout 1200 python tools/profile_train.py 2>&1 | tee "$OUT/profile_train.txt"
+
+echo "== queued bench r04 done =="
