@@ -176,7 +176,8 @@ def patch_embed_patches(params, x: jax.Array, compute_dtype) -> jax.Array:
     act_quant mode) the GEMM runs on the int8 MXU via the fused w8a8 kernel;
     otherwise a plain (XLA-fused) matmul."""
     q8 = params.get("kernel_q8")
-    if q8 is not None and jax.default_backend() == "tpu":
+    from ..ops.int8_matmul import kernels_active
+    if q8 is not None and kernels_active():
         from ..ops.int8_matmul import w8a8_matmul
         BT, N, P = x.shape
         y = w8a8_matmul(x.reshape(BT * N, P).astype(compute_dtype),
@@ -256,8 +257,8 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str,
 
     k_q = p["attn"]["q"]["kernel"]
     k_out = p["attn"]["out"]["kernel"]
-    w8a8 = isinstance(k_q, dict) and "qa" in k_q and \
-        jax.default_backend() == "tpu"
+    from ..ops.int8_matmul import kernels_active
+    w8a8 = isinstance(k_q, dict) and "qa" in k_q and kernels_active()
     fused_out = attn_impl == "flash" and isinstance(k_out, dict) and \
         "qa" in k_out
     # NOTE (measured-rejected): a no-concat variant — projecting x and
@@ -407,8 +408,9 @@ def vision_encoder(params, x: jax.Array, cfg: VisionConfig,
     except (KeyError, TypeError):
         w8a8_serving = False
     Lx = x.shape[1]
+    from ..ops.int8_matmul import kernels_active
     if (w8a8_serving and attn_impl == "flash"
-            and jax.default_backend() == "tpu" and Lx % 8 != 0):
+            and kernels_active() and Lx % 8 != 0):
         lx_valid = Lx
         x = jnp.pad(x, ((0, 0), (0, -Lx % 8), (0, 0)))
 

@@ -78,9 +78,10 @@ def multi_head_attention(params: Dict, q: jax.Array, k: jax.Array,
                          impl: str = "xla",
                          causal: bool = False) -> jax.Array:
     """Full attention module: project q/k/v, attend, project out."""
+    from .int8_matmul import kernels_active
     if (q is k and k is v and isinstance(params["q"]["kernel"], dict)
             and "qa" in params["q"]["kernel"]
-            and jax.default_backend() == "tpu"):
+            and kernels_active()):
         # w8a8 self-attention: one fused kernel reads + quantizes the shared
         # input tile once and runs all three int8 projections against it
         # (saves 2/3 of the activation HBM reads and quant work)

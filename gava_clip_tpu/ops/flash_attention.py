@@ -48,6 +48,21 @@ _PARALLEL_1D = pltpu.CompilerParams(dimension_semantics=("parallel",))
 # trade (score tile is Lq x Lk fp32 per head) and the streaming kernel wins
 _PACKED_MAX_LK = 640
 
+# int8 QK^T score dots in the SERVING kernels (flash_attention_out_int8*).
+# Trace-time flag; env GAVA_INT8_QK=1 arms it for A/B benching without code
+# changes (tools/run_queued_bench_r04.sh). Accuracy rides the same bench
+# prob-delta gate as the rest of w8a8.
+import os as _os
+_INT8_QK = _os.environ.get("GAVA_INT8_QK", "0") == "1"
+
+
+def set_int8_qk(enabled: bool) -> None:
+    """Route the serving kernels' QK^T score dots through the int8 MXU
+    (per-row q/k quantization in VMEM, rank-1 rescale fused into the exp2
+    pass). Affects functions traced after the call."""
+    global _INT8_QK
+    _INT8_QK = enabled
+
 
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -70,7 +85,8 @@ def _zero_tail_rows(x, valid: int):
     return jnp.where(rows < valid, x, jnp.zeros_like(x))
 
 def _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
-                               head_dim, store, store_den=None):
+                               head_dim, store, store_den=None,
+                               int8_qk: bool = False):
     """Core of _onepass_softmax_av with an explicit valid-key mask
     (colmask: None or (1, Lk) {0,1} fp32) — callers with a non-prefix
     valid-key layout (the stitched two-source kernel) build their own.
@@ -83,16 +99,42 @@ def _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
     The ones column needs no masking for garbage/padded key rows: their e
     columns are forced to 0 by colmask (zeroing k alone would NOT do it —
     a zero score still exps to 1 — which is why padded columns were always
-    colmasked, in the old separate-denominator form too)."""
+    colmasked, in the old separate-denominator form too).
+
+    int8_qk: run the QK^T score dot on the int8 MXU — q/k head slices are
+    quantized per-row symmetric in VMEM and the rank-1 rescale
+    (qs_row x ks_col) folds into the exp2 argument, so the score tile still
+    gets exactly ONE elementwise traversal. The AV dot deliberately stays
+    bf16: quantizing `e` per-row needs a row-max reduction over the
+    (Lq, Lk) tile — a second wide pass, re-paying what the one-pass
+    softmax eliminated. Serving-only knob (see set_int8_qk), gated by the
+    bench prob-delta check like every other w8a8 deviation."""
     Lk = k.shape[0]
     c = scale * 1.4426950408889634                    # fold scale into exp2
     ones_col = jnp.ones((Lk, 1), v.dtype)
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        s = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        e = jnp.exp2(jnp.minimum(s * c, 110.0))
+        if int8_qk:
+            qh = q[:, sl].astype(jnp.float32)
+            kh = k[:, sl].astype(jnp.float32)
+            qs = jnp.maximum(jnp.max(jnp.abs(qh), axis=1, keepdims=True),
+                             1e-6)
+            ks = jnp.maximum(jnp.max(jnp.abs(kh), axis=1, keepdims=True),
+                             1e-6)
+            qq = jnp.round(qh * (127.0 / qs)).astype(jnp.int8)
+            kq = jnp.round(kh * (127.0 / ks)).astype(jnp.int8)
+            s32 = jax.lax.dot_general(
+                qq, kq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            # rank-1 rescale fused into the single elementwise pass
+            e = jnp.exp2(jnp.minimum(
+                s32.astype(jnp.float32)
+                * (qs * (c / (127.0 * 127.0))) * ks.T, 110.0))
+        else:
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            e = jnp.exp2(jnp.minimum(s * c, 110.0))
         if colmask is not None:
             e = e * colmask
         e = e.astype(v.dtype)
@@ -477,7 +519,8 @@ def _reference_attention(q, k, v, num_heads, causal: bool = False):
 
 def _attention_out_kernel(q_ref, k_ref, v_ref, w_ref, s_ref, b_ref, r_ref,
                           o_ref, attn_ref, *, scale: float, lk_valid: int,
-                          k_segments, num_heads: int, head_dim: int):
+                          k_segments, num_heads: int, head_dim: int,
+                          int8_qk: bool = False):
     """Inference fusion: whole-row attention, then the int8 out-projection,
     bias, and residual add — the attention output never leaves VMEM.
 
@@ -512,7 +555,7 @@ def _attention_out_kernel(q_ref, k_ref, v_ref, w_ref, s_ref, b_ref, r_ref,
         attn_ref[:, sl] = out
 
     _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
-                               head_dim, store)
+                               head_dim, store, int8_qk=int8_qk)
     a = attn_ref[...]
     xs = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-6) \
         * (1.0 / 127.0)
@@ -577,7 +620,8 @@ def flash_attention_out_int8(q, k, v, num_heads, out_params, residual,
     out = pl.pallas_call(
         functools.partial(_attention_out_kernel, scale=head_dim ** -0.5,
                           lk_valid=Lk, k_segments=k_segments,
-                          num_heads=num_heads, head_dim=head_dim),
+                          num_heads=num_heads, head_dim=head_dim,
+                          int8_qk=_INT8_QK),
         grid=(B,),
         in_specs=[blk_q, blk_kv, blk_kv,
                   pl.BlockSpec((D, D), lambda b: (0, 0)),
@@ -598,7 +642,7 @@ def _attention_out_kernel_2src(q_ref, k1_ref, v1_ref, k2_ref, v2_ref,
                                w_ref, s_ref, b_ref, r_ref, o_ref, attn_ref,
                                *, scale: float, lk1_valid: int,
                                lk2_valid: int, num_heads: int,
-                               head_dim: int):
+                               head_dim: int, int8_qk: bool = False):
     """_attention_out_kernel over TWO kv sources (patch rows + prompt-extras
     rows) — the sources never get concatenated in HBM; they are stitched
     along the sublane axis IN VMEM (both tiles are 8-row aligned, one cheap
@@ -625,7 +669,7 @@ def _attention_out_kernel_2src(q_ref, k1_ref, v1_ref, k2_ref, v2_ref,
         attn_ref[:, sl] = out
 
     _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
-                               head_dim, store)
+                               head_dim, store, int8_qk=int8_qk)
     a = attn_ref[...]
     xs = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-6) \
         * (1.0 / 127.0)
@@ -678,7 +722,7 @@ def flash_attention_out_int8_2src(q, k1, v1, k2, v2, num_heads, out_params,
         functools.partial(_attention_out_kernel_2src,
                           scale=head_dim ** -0.5, lk1_valid=L1,
                           lk2_valid=L2, num_heads=num_heads,
-                          head_dim=head_dim),
+                          head_dim=head_dim, int8_qk=_INT8_QK),
         grid=(B,),
         in_specs=[blk_q, blk_k1, blk_k1, blk_k2, blk_k2,
                   pl.BlockSpec((D, D), lambda b: (0, 0)),

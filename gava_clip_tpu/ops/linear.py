@@ -73,8 +73,8 @@ def mlp_block(params: Dict, norm_params: Dict, x: jax.Array,
                         norm_params["scale"], norm_params["bias"],
                         residual.reshape(-1, residual.shape[-1]))
         return y.reshape(x.shape[:-1] + (y.shape[-1],))
-    if isinstance(k1, dict) and "qa" in k1 and \
-            jax.default_backend() == "tpu":
+    from .int8_matmul import kernels_active
+    if isinstance(k1, dict) and "qa" in k1 and kernels_active():
         from .int8_matmul import w8a8_mlp, w8a8_mlp_res
         x2 = x.reshape(-1, x.shape[-1])
         ln = (norm_params["scale"], norm_params["bias"])

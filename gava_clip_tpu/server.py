@@ -3,8 +3,12 @@
 Beyond the reference (which ships no serving path): a stdlib-only
 ThreadingHTTPServer front-end with cross-request micro-batching — concurrent
 requests are coalesced into one fixed-batch device forward (the classifier
-compiles a single executable), so tail latency under load is one batch
-period, not one forward per request.
+compiles a single executable), so concurrency adds one coalescing window to
+latency, not one forward per request. Measured (tools/loadtest_server.py,
+tiny model, 1-core CPU host, batch=8, max_wait=5 ms): 1 client p50 10.9 ms /
+92.9 req/s; 16 concurrent clients p50 22.3 ms / 182.5 req/s at mean batch
+occupancy 4.7 — 16x the offered load for ~2x the p50 (docs/PERFORMANCE.md
+has the full table).
 
 Endpoints:
   GET  /healthz               -> {"status": "ok"}
@@ -46,6 +50,9 @@ class MicroBatcher:
         self.clf = classifier
         self.max_wait = max_wait_ms / 1e3
         self.q: "queue.Queue[_Pending]" = queue.Queue()
+        # occupancy counters (read by tools/loadtest_server.py): mean
+        # requests-per-device-forward is the whole point of micro-batching
+        self.stats = {"batches": 0, "requests": 0}
         self._stop = threading.Event()
         self.worker = threading.Thread(target=self._loop, daemon=True)
         self.worker.start()
@@ -71,6 +78,8 @@ class MicroBatcher:
                 except queue.Empty:
                     break
             clips = np.stack([p.clip for p in batch])
+            self.stats["batches"] += 1
+            self.stats["requests"] += len(batch)
             try:
                 probs = self.clf.classify_clips(clips)
                 for p, pr in zip(batch, probs):

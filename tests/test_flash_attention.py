@@ -276,3 +276,37 @@ def test_clamp_monitor_detects_drift():
     # monitor off: stats stay reset
     FA.flash_attention(q, k, v, num_heads=2)
     assert FA.clamp_stats["calls"] == 0
+
+
+def test_int8_qk_scores_close_to_fp32():
+    """set_int8_qk(True): the QK^T dot runs int8 (per-row q/k quant in VMEM,
+    rank-1 rescale folded into the exp2 arg). Softmax probabilities are
+    insensitive to ~0.4% relative score error at CLIP-scale logits, so the
+    attention output must track the fp32-score kernel tightly — the same
+    prob-delta contract the bench gate enforces on TPU."""
+    from gava_clip_tpu.ops.flash_attention import (flash_attention_out_int8,
+                                                   set_int8_qk)
+    rs = np.random.RandomState(11)
+    B, Lq, Lk, D, H = 3, 30, 38, 64, 4
+    q = jnp.asarray(rs.randn(B, Lq, D).astype(np.float32) * 0.3)
+    k = jnp.asarray(rs.randn(B, Lk, D).astype(np.float32) * 0.3)
+    v = jnp.asarray(rs.randn(B, Lk, D).astype(np.float32) * 0.1)
+    r = jnp.asarray(rs.randn(B, Lq, D).astype(np.float32) * 0.1)
+    wq = jnp.asarray(rs.randint(-127, 127, (D, D), np.int8))
+    sc = jnp.asarray(np.abs(rs.randn(1, D)).astype(np.float32) * 0.01)
+    b = jnp.asarray(rs.randn(D).astype(np.float32) * 0.01)
+    outp = {"kernel": {"qa": wq, "scale": sc}, "bias": b}
+
+    want = np.asarray(flash_attention_out_int8(q, k, v, H, outp, r),
+                      np.float32)
+    set_int8_qk(True)
+    try:
+        got = np.asarray(flash_attention_out_int8(q, k, v, H, outp, r),
+                         np.float32)
+    finally:
+        set_int8_qk(False)
+    # scores carry <=0.8% relative quant error; through softmax + AV + the
+    # int8 out-projection the output stays within the w8a8 family tolerance
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+    # and the flag actually changes the computation (not a dead knob)
+    assert np.abs(got - want).max() > 0

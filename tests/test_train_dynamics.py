@@ -220,3 +220,108 @@ def test_long_horizon_convergence_matches_reference(ref_env):
     # and reach the same accuracy on held-out separable data
     assert acc_torch >= 0.9 and acc_ours >= 0.9, (acc_torch, acc_ours)
     assert abs(acc_torch - acc_ours) <= 0.1, (acc_torch, acc_ours)
+
+
+# ---------------------------------------------------------------------------
+# long-horizon convergence on the FLAGSHIP loss composition (VERDICT r3 #6)
+# ---------------------------------------------------------------------------
+
+FLAG_STEPS = 100
+
+
+def test_long_horizon_flagship_loss_matches_reference(ref_env,
+                                                      reference_modules):
+    """~100 AdamW+cosine steps with the full flagship composition —
+    CE x focal-ordinal weights + memory CE + NTE diagonal
+    (training/train.py:446-475 with focal_ordinal_loss, use_support_memory,
+    add_nte all on) — torch reference loop vs our jitted step from
+    converted-identical init: loss curves track and both reach the same
+    train accuracy on separable synthetic data. Extends the plain-CE
+    long-horizon test to the exact loss the production driver runs."""
+    import torch
+    ref, model, params = _build_models(ref_env, support_memory=True,
+                                       add_nte=True)
+    rs = np.random.RandomState(31)
+    protos = rs.rand(N_CLS, 1, 8, 8, 3).astype(np.float32)
+    batches = _separable_batches(rs, FLAG_STEPS, protos=protos)
+    for i, b in enumerate(batches):  # memory/NTE side-channels
+        b["memory"] = rs.randn(4, 6, 64).astype(np.float32) * 0.1
+        b["mt_labels"] = np.array([0, 1, 2, i % N_CLS], np.int64)
+        b["nte"] = rs.randn(len(b["labels"]), 70, 64).astype(np.float32) * 0.1
+    eval_batches = _separable_batches(np.random.RandomState(77), 6,
+                                      protos=protos)
+
+    # --- torch trajectory (train.py:351-362,446-475)
+    ref.train()
+    optimizer = torch.optim.AdamW(ref.parameters(), lr=CONV_LR,
+                                  weight_decay=WD)
+    lr_sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        optimizer, T_max=FLAG_STEPS)
+    criterion = torch.nn.CrossEntropyLoss(reduction="none")
+    fo_criterion = reference_modules[
+        "loss_utils"].categorical_ordinal_focal_weight(
+        gamma=2.0, alpha=0.25, beta=0.2, scale=1.0)
+    want_losses = []
+    for b in batches:
+        optimizer.zero_grad(set_to_none=True)
+        logits, logits_mt, logits_vm = ref(
+            torch.from_numpy(b["video"].transpose(0, 4, 1, 2, 3)),
+            memory=torch.from_numpy(b["memory"]),
+            video_nte=torch.from_numpy(b["nte"]))
+        labels = torch.from_numpy(b["labels"])
+        loss = criterion(logits, labels)
+        loss = loss * fo_criterion(logits, labels)
+        loss_tot = loss.mean()
+        loss_tot = loss_tot + 0.1 * criterion(
+            logits_mt, torch.from_numpy(b["mt_labels"])).mean()
+        loss_tot = loss_tot - 0.05 * torch.diag(logits_vm).mean()
+        loss_tot.backward()
+        optimizer.step()
+        lr_sched.step()
+        want_losses.append(float(loss_tot.detach()))
+    ref.eval()
+    hits = tot = 0
+    with torch.no_grad():
+        for b in eval_batches:
+            logits, _, _ = ref(
+                torch.from_numpy(b["video"].transpose(0, 4, 1, 2, 3)))
+            hits += int((logits.argmax(-1).numpy() == b["labels"]).sum())
+            tot += len(b["labels"])
+    acc_torch = hits / tot
+
+    # --- our trajectory (the production LossConfig)
+    from gava_clip_tpu.models.vita_clip import trainable_mask
+    from gava_clip_tpu.train.state import (combine_params, create_train_state,
+                                           make_optimizer)
+    from gava_clip_tpu.train.step import LossConfig, make_train_step
+    opt = make_optimizer(CONV_LR, FLAG_STEPS, weight_decay=WD)
+    state = create_train_state(params, trainable_mask(params, model.cfg), opt)
+    loss_cfg = LossConfig(num_classes=N_CLS, focal_ordinal=True, fo_beta=0.2,
+                          use_support_memory=True, add_nte=True,
+                          memory_loss_weight=0.1, vnte_loss_weight=0.05)
+    step = make_train_step(model, loss_cfg, opt, donate=False)
+    got_losses = []
+    for b in batches:
+        state, metrics = step(state, jax.tree_util.tree_map(jnp.asarray, b))
+        got_losses.append(float(metrics["total"]))
+    eval_params = combine_params(state.trainable, state.frozen)
+    hits = tot = 0
+    for b in eval_batches:
+        out = model.apply(eval_params, model.buffers, jnp.asarray(b["video"]))
+        hits += int((np.asarray(out["logits"]).argmax(-1) == b["labels"]).sum())
+        tot += len(b["labels"])
+    acc_ours = hits / tot
+
+    want, got = np.asarray(want_losses), np.asarray(got_losses)
+    np.testing.assert_allclose(got[:10], want[:10], rtol=2e-2, atol=2e-2)
+    kern = np.ones(10) / 10
+    sw = np.convolve(want, kern, mode="valid")
+    sg = np.convolve(got, kern, mode="valid")
+    assert np.abs(sw - sg).max() < 0.25, np.abs(sw - sg).max()
+    # the CE term dominates and must collapse on separable data; the NTE
+    # diagonal term is a bounded negative offset, so compare the drop in
+    # totals rather than a fixed fraction of a near-zero endpoint
+    assert (sw[0] - sw[-1]) > 0.5 and (sg[0] - sg[-1]) > 0.5, (sw[0], sw[-1],
+                                                               sg[0], sg[-1])
+    assert acc_torch >= 0.9 and acc_ours >= 0.9, (acc_torch, acc_ours)
+    assert abs(acc_torch - acc_ours) <= 0.1, (acc_torch, acc_ours)
