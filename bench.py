@@ -131,6 +131,10 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
         "per_call_p50_ms": round(med_call_ms, 1),
         "per_call_note": "blocking per step adds one relay RTT (~30 ms "
                          "here); headline is pipelined like the driver",
+        # declared train north star (docs/PERFORMANCE.md): <=300 ms/step
+        # sustained = >=2.65x the 45%-MFU GPU estimate; stretch 262.7 ms
+        "target_ms": 300.0,
+        "target_met": bool(med_ms <= 300.0),
         "min_ms": round(min(times) * 1e3, 1),
         "max_ms": round(max(times) * 1e3, 1),
         "device": str(jax.devices()[0]),
