@@ -375,7 +375,7 @@ def _packed_backward(q, k, v, do, o, den, num_heads: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _packed_flash(q, k, v, num_heads):
+def _packed_flash_saved(q, k, v, num_heads):
     return _packed_forward(q, k, v, num_heads)
 
 
@@ -397,7 +397,134 @@ def _packed_bwd(num_heads, res, g):
     return _packed_backward(q, k, v, g, o, den, num_heads)
 
 
-_packed_flash.defvjp(_packed_fwd, _packed_bwd)
+_packed_flash_saved.defvjp(_packed_fwd, _packed_bwd)
+
+
+# --- recompute-backward variant (the pre-saved-residual form), kept as an
+# A/B switch: the saved-residual backward trades the in-kernel o-recompute
+# `e @ [v|1]` dot for (Lq, D)+(Lq, H) extra residual HBM traffic per layer.
+# It landed during a relay outage (commit 5d2e104), so its TPU effect is
+# unmeasured; GAVA_FLASH_BWD=recompute lets the queued bench time both and
+# settle keep-or-revert with one healthy window (VERDICT r3 #2).
+
+def _attention_bwd_kernel_recompute(q_ref, k_ref, v_ref, do_ref,
+                                    dq_ref, dk_ref, dv_ref, *, scale: float,
+                                    lq_valid: int, lk_valid: int,
+                                    num_heads: int, head_dim: int):
+    """Whole-row flash backward with IN-KERNEL output/denominator recompute:
+    residuals are just (q, k, v); o and den are rebuilt per head via the
+    same `e @ [v|1]` denominator-fused dot the forward uses. Wide
+    elementwise work is the same TWO passes as the saved-residual kernel —
+    the delta difference is one extra MXU dot vs two fewer HBM residual
+    streams."""
+    q = _zero_tail_rows(q_ref[0], lq_valid)
+    k = _zero_tail_rows(k_ref[0], lk_valid)
+    v = _zero_tail_rows(v_ref[0], lk_valid)
+    do = _zero_tail_rows(do_ref[0], lq_valid)
+    Lk = k.shape[0]
+    c = scale * 1.4426950408889634
+    colmask = None
+    if lk_valid < Lk:
+        colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, Lk), 1)
+                   < lk_valid).astype(jnp.float32)
+    ones_col = jnp.ones((Lk, 1), v.dtype)
+    contract_q = (((0,), (0,)), ((), ()))     # (Lq,Lk) x (Lq,Dh) -> (Lk,Dh)
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        e = jnp.exp2(jnp.minimum(s * c, 110.0))
+        if colmask is not None:
+            e = e * colmask
+        e = e.astype(v.dtype)                                   # pass 1
+        v_aug = jnp.concatenate([vh, ones_col], axis=1)
+        num = jnp.dot(e, v_aug, preferred_element_type=jnp.float32)
+        inv_d = 1.0 / jnp.maximum(num[:, head_dim:head_dim + 1], 1e-30)
+        oh = num[:, :head_dim] * inv_d
+        delta = jnp.sum(doh.astype(jnp.float32) * oh, axis=-1,
+                        keepdims=True)
+        dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (e.astype(jnp.float32) * inv_d * (dp - delta)
+              ).astype(v.dtype)                                 # pass 2
+        do_n = (doh.astype(jnp.float32) * inv_d).astype(v.dtype)
+        dq = jnp.dot(ds, kh, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, qh, contract_q,
+                                 preferred_element_type=jnp.float32) * scale
+        dv = jax.lax.dot_general(e, do_n, contract_q,
+                                 preferred_element_type=jnp.float32)
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _packed_backward_recompute(q, k, v, do, num_heads: int):
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    head_dim = D // num_heads
+    Lqp, Lkp = _ceil_to(Lq, 8), _ceil_to(Lk, 8)
+    interp = jax.default_backend() != "tpu"
+    if interp:
+        q, k, v = _pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp)
+        do = _pad_seq(do, Lqp)
+    Lqo, Lko = (Lqp, Lkp) if interp else (Lq, Lk)
+
+    blk_q = pl.BlockSpec((1, Lqp, D), lambda b: (b, 0, 0))
+    blk_kv = pl.BlockSpec((1, Lkp, D), lambda b: (b, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attention_bwd_kernel_recompute,
+                          scale=head_dim ** -0.5,
+                          lq_valid=Lq, lk_valid=Lk, num_heads=num_heads,
+                          head_dim=head_dim),
+        grid=(B,),
+        in_specs=[blk_q, blk_kv, blk_kv, blk_q],
+        out_specs=[blk_q, blk_kv, blk_kv],
+        out_shape=[jax.ShapeDtypeStruct((B, Lqo, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, Lko, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, Lko, D), v.dtype)],
+        compiler_params=_PARALLEL_1D,
+        interpret=interp,
+    )(q, k, v, do)
+    return dq[:, :Lq], dk[:, :Lk], dv[:, :Lk]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _packed_flash_recompute(q, k, v, num_heads):
+    return _packed_forward(q, k, v, num_heads)
+
+
+def _packed_fwd_recompute(q, k, v, num_heads):
+    from jax.ad_checkpoint import checkpoint_name
+    out = _packed_forward(q, k, v, num_heads)
+    out = checkpoint_name(out, "attn_out")
+    return out, (q, k, v)
+
+
+def _packed_bwd_recompute(num_heads, res, g):
+    q, k, v = res
+    return _packed_backward_recompute(q, k, v, g, num_heads)
+
+
+_packed_flash_recompute.defvjp(_packed_fwd_recompute, _packed_bwd_recompute)
+
+# trace-time selection; env GAVA_FLASH_BWD={saved,recompute} for A/B runs
+_BWD_MODE = _os.environ.get("GAVA_FLASH_BWD", "saved")
+
+
+def set_flash_bwd_mode(mode: str) -> None:
+    """'saved' (default: backward consumes forward output + per-head
+    denominators as residuals) or 'recompute' (backward rebuilds them
+    in-kernel; residuals are q/k/v only). Affects traces after the call."""
+    global _BWD_MODE
+    assert mode in ("saved", "recompute"), mode
+    _BWD_MODE = mode
+
+
+def _packed_flash(q, k, v, num_heads):
+    if _BWD_MODE == "recompute":
+        return _packed_flash_recompute(q, k, v, num_heads)
+    return _packed_flash_saved(q, k, v, num_heads)
 
 
 # ---------------------------------------------------------------------------

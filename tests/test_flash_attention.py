@@ -310,3 +310,32 @@ def test_int8_qk_scores_close_to_fp32():
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
     # and the flag actually changes the computation (not a dead knob)
     assert np.abs(got - want).max() > 0
+
+
+def test_flash_bwd_recompute_matches_saved_residual():
+    """GAVA_FLASH_BWD A/B switch: the recompute backward (residuals q/k/v,
+    o+denominator rebuilt in-kernel) and the saved-residual backward must
+    produce identical gradients — only their HBM-traffic/FLOP trade differs
+    (timed on TPU by tools/run_queued_bench_r04.sh)."""
+    from gava_clip_tpu.ops.flash_attention import (flash_attention,
+                                                   set_flash_bwd_mode)
+    rs = np.random.RandomState(13)
+    B, L, D, H = 2, 22, 64, 4
+    q = jnp.asarray(rs.randn(B, L, D).astype(np.float32) * 0.2)
+    k = jnp.asarray(rs.randn(B, L, D).astype(np.float32) * 0.2)
+    v = jnp.asarray(rs.randn(B, L, D).astype(np.float32) * 0.2)
+    do = jnp.asarray(rs.randn(B, L, D).astype(np.float32))
+
+    def run():
+        f = lambda q, k, v: (flash_attention(q, k, v, H) * do).sum()
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g_saved = run()
+    set_flash_bwd_mode("recompute")
+    try:
+        g_rec = run()
+    finally:
+        set_flash_bwd_mode("saved")
+    for a, b in zip(g_saved, g_rec):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

@@ -1,0 +1,98 @@
+"""Pipeline parallelism (parallel/pipeline.py): GPipe over stacked-weight
+towers must be numerically identical to the sequential lax.scan, on 2- and
+4-stage meshes, with and without microbatching."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from gava_clip_tpu.parallel.pipeline import pipeline_scan, stage_params
+
+
+def _pipe_mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("pipe",))
+
+
+def _toy_stack(L=4, D=16, rs=None):
+    rs = rs or np.random.RandomState(0)
+    return {"w": jnp.asarray(rs.randn(L, D, D).astype(np.float32) * 0.2),
+            "b": jnp.asarray(rs.randn(L, D).astype(np.float32) * 0.1)}
+
+
+def _toy_block(carry, p):
+    return jnp.tanh(carry @ p["w"] + p["b"])
+
+
+@pytest.mark.parametrize("stages,microbatches", [(2, 1), (2, 2), (4, 4),
+                                                 (4, 2)])
+def test_pipeline_matches_sequential_scan(stages, microbatches):
+    rs = np.random.RandomState(1)
+    stacked = _toy_stack(L=4, rs=rs)
+    x = jnp.asarray(rs.randn(8, 16).astype(np.float32))
+
+    def body(c, p):
+        return _toy_block(c, p), None
+    want, _ = jax.lax.scan(body, x, stacked)
+
+    mesh = _pipe_mesh(stages)
+    staged = stage_params(stacked, mesh)
+    got = pipeline_scan(_toy_block, staged, x, mesh,
+                        microbatches=microbatches)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_pipeline_real_vision_block():
+    """The ACTUAL vision transformer block (summary token + local/global
+    prompts) pipelined over 2 stages == its sequential scan — no per-layer
+    surgery needed because the tower already stacks weights for lax.scan
+    (models/vision.py)."""
+    from gava_clip_tpu.models.vision import VisionConfig, _block
+    from gava_clip_tpu.models.vita_clip import VitaClip, VitaClipConfig
+    tf = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    cfg = VisionConfig(input_size=(32, 32), num_frames=2, feature_dim=32,
+                       patch_size=(16, 16), heads=2, layers=4,
+                       mlp_factor=2.0, embed_dim=16,
+                       use_summary_token=True, use_local_prompts=True,
+                       use_global_prompts=True, num_global_prompts=2)
+    model = VitaClip(VitaClipConfig(vision=cfg, num_classes=3,
+                                    zeroshot_evaluation=True),
+                     zeroshot_text_features=tf)
+    vp = model.params["visual"]
+    blocks = vp["blocks"]
+    g_prompts = vp["global_prompts"]
+
+    rs = np.random.RandomState(3)
+    B, T, L_tok, D = 2, 2, 13, 32
+    h = jnp.asarray(rs.randn(B * T, L_tok, D).astype(np.float32) * 0.1)
+    s0 = jnp.zeros((B, T, D), jnp.float32)
+
+    def block_fn(carry, layer_params):
+        x, _ = carry
+        p, g = layer_params
+        x, summary = _block(p, g, x, cfg, "xla")
+        if summary is None:
+            summary = jnp.zeros((B, T, D), x.dtype)
+        return (x, summary)
+
+    def body(c, p):
+        return block_fn(c, p), None
+    want_x, want_s = jax.lax.scan(body, (h, s0), (blocks, g_prompts))[0]
+
+    mesh = _pipe_mesh(2)
+    staged = stage_params((blocks, g_prompts), mesh)
+    got_x, got_s = pipeline_scan(block_fn, staged, (h, s0), mesh,
+                                 microbatches=2)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_stage_params_validates_divisibility():
+    mesh = _pipe_mesh(2)
+    with pytest.raises(ValueError, match="not divisible"):
+        stage_params({"w": jnp.zeros((3, 4, 4))}, mesh)

@@ -27,6 +27,10 @@ echo "== 3. train-step remat sweep (saved-residual bwd re-timing) =="
 timeout 1800 python tools/bench_train_step.py \
     --remat full save_attn save_attn_qkv --steps 12 2>&1 | tee "$OUT/remat_sweep.txt"
 
+echo "== 3b. A/B: recompute backward (pre-5d2e104 form) at the same configs =="
+timeout 1800 env GAVA_FLASH_BWD=recompute python tools/bench_train_step.py \
+    --remat full save_attn_qkv --steps 12 2>&1 | tee "$OUT/remat_sweep_recompute.txt"
+
 echo "== 4. scan_unroll sweep at save_attn_qkv =="
 timeout 1200 python tools/bench_train_step.py \
     --remat save_attn_qkv --steps 12 --unroll 12 2>&1 | tee "$OUT/unroll12.txt"
