@@ -234,33 +234,55 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str,
     Tb = cfg.num_frames          # train-time frames (see docstring)
     Bb = BT // Tb
 
-    summary = None
-    if cfg.use_summary_token or cfg.use_local_prompts:
-        cls = x[:, 0].reshape(Bb, Tb, D)
-        cls_proj = linear(p["cls_proj"], cls)
-
-    extras = []
-    if cfg.use_global_prompts:
-        extras.append(jnp.broadcast_to(g_prompt[None].astype(x.dtype),
-                                       (BT, G, D)))
-    if cfg.use_summary_token:
-        s_norm = layer_norm(cls_proj, p["summary_ln"]["scale"],
-                            p["summary_ln"]["bias"])
-        summary = cls_proj + multi_head_attention(
-            p["summary_attn"], s_norm, s_norm, s_norm, cfg.heads, impl="xla")
-        extras.append(summary.reshape(BT, 1, D))
-    if cfg.use_local_prompts:
-        lp = p["local_prompts"].astype(x.dtype) + cls_proj   # (Bb, Tb, D)
-        # every frame row of a pseudo-video attends over the same Tb prompts
-        extras.append(jnp.broadcast_to(lp[:, None], (Bb, Tb, Tb, D))
-                      .reshape(BT, Tb, D))
-
     k_q = p["attn"]["q"]["kernel"]
     k_out = p["attn"]["out"]["kernel"]
     from ..ops.int8_matmul import kernels_active
     w8a8 = isinstance(k_q, dict) and "qa" in k_q and kernels_active()
     fused_out = attn_impl == "flash" and isinstance(k_out, dict) and \
         "qa" in k_out
+
+    from ..ops.extras_kernel import FUSED_EXTRAS
+    # fused extras (A/B, GAVA_FUSED_EXTRAS=1): compute the whole prompt
+    # machinery — cls_proj GEMM, summary LN + Tb-token attention, local/
+    # global broadcasts, concat + sublane pad — in ONE Pallas launch
+    # instead of ~10 launch-bound XLA ops (~0.14 ms/layer of dispatch gaps
+    # in the ceiling accounting). Serving-aligned all-prompts-on path only.
+    use_fused_extras = (FUSED_EXTRAS and w8a8 and fused_out
+                        and lx_valid is not None
+                        and cfg.use_summary_token and cfg.use_local_prompts
+                        and cfg.use_global_prompts)
+
+    summary = None
+    extras = []
+    fused_e = None
+    if use_fused_extras:
+        from ..ops.extras_kernel import fused_extras
+        le = G + 1 + Tb
+        le_pad = le + (-le % 8)
+        fused_e, summary = fused_extras(
+            x[:, 0], p, g_prompt.astype(x.dtype), Tb=Tb,
+            num_heads=cfg.heads, le_pad=le_pad)
+    else:
+        if cfg.use_summary_token or cfg.use_local_prompts:
+            cls = x[:, 0].reshape(Bb, Tb, D)
+            cls_proj = linear(p["cls_proj"], cls)
+
+        if cfg.use_global_prompts:
+            extras.append(jnp.broadcast_to(g_prompt[None].astype(x.dtype),
+                                           (BT, G, D)))
+        if cfg.use_summary_token:
+            s_norm = layer_norm(cls_proj, p["summary_ln"]["scale"],
+                                p["summary_ln"]["bias"])
+            summary = cls_proj + multi_head_attention(
+                p["summary_attn"], s_norm, s_norm, s_norm, cfg.heads,
+                impl="xla")
+            extras.append(summary.reshape(BT, 1, D))
+        if cfg.use_local_prompts:
+            lp = p["local_prompts"].astype(x.dtype) + cls_proj  # (Bb, Tb, D)
+            # every frame row of a pseudo-video attends over the same Tb
+            # prompts
+            extras.append(jnp.broadcast_to(lp[:, None], (Bb, Tb, Tb, D))
+                          .reshape(BT, Tb, D))
     # NOTE (measured-rejected): a no-concat variant — projecting x and
     # extras through two separate qkv kernels and attending over both kv
     # sources with flash_attention_out_int8_2src — benched 586 clips/s vs
@@ -268,7 +290,9 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str,
     # refetch per layer cost more than the 0.025 ms kv concat it saves.
     if w8a8:
         padded = lx_valid is not None and fused_out
-        if padded and extras:
+        if use_fused_extras:
+            le = G + 1 + Tb            # valid extras rows (pad masked out)
+        elif padded and extras:
             # sublane-aligned layout: pad the extras group to the 8-row
             # quantum too, so the concatenated kv keeps every clip's row
             # count 8-aligned and kv.reshape(-1, D) stays a bitcast
@@ -285,14 +309,17 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str,
                     for n in ("q", "k", "v"))
         b3 = tuple(p["attn"][n]["bias"] for n in ("q", "k", "v"))
         ln = (p["norm1"]["scale"], p["norm1"]["bias"])
-        if padded and extras:
+        if padded and (extras or fused_e is not None):
             # aligned layout: the qkv kernel reads the patch rows and the
             # extras rows as two inputs and stitches them in VMEM —
             # the (BT, Lkv, D) kv concatenate never exists in HBM
             # (profiled at 0.6 ms/forward as an XLA concatenate)
             from ..ops.int8_matmul import w8a8_matmul3_cat
-            e = extras[0] if len(extras) == 1 else \
-                jnp.concatenate(extras, axis=1)
+            if fused_e is not None:
+                e = fused_e                 # already sublane-padded
+            else:
+                e = extras[0] if len(extras) == 1 else \
+                    jnp.concatenate(extras, axis=1)
             cpb = max(c for c in (4, 2, 1) if BT % c == 0)
             qp, kp, vp = w8a8_matmul3_cat(x, e, wq3, sc3, bias3=b3,
                                           ln=ln, clips_per_block=cpb)
@@ -308,7 +335,7 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str,
             # out of the keys by static segments
             from ..ops.flash_attention import flash_attention_out_int8
             segs = ((0, lx_valid),)
-            if extras:
+            if extras or fused_e is not None:
                 segs = ((0, lx_valid), (Lx, Lx + le))
             x = flash_attention_out_int8(qp, kp, vp, cfg.heads,
                                          p["attn"]["out"], x, lq=Lx,

@@ -44,6 +44,12 @@ timeout 1200 python tools/profile_train.py 2>&1 | tee "$OUT/profile_train.txt"
 echo "== 6b. A/B: int8 QK^T score dots in the serving kernels =="
 timeout 1500 env GAVA_INT8_QK=1 python bench.py 2>&1 | tee "$OUT/bench_infer_int8qk.json"
 
+echo "== 6c. A/B: fused extras kernel =="
+timeout 1500 env GAVA_FUSED_EXTRAS=1 python bench.py 2>&1 | tee "$OUT/bench_infer_fusedextras.json"
+
+echo "== 6d. A/B: both candidates together =="
+timeout 1500 env GAVA_FUSED_EXTRAS=1 GAVA_INT8_QK=1 python bench.py 2>&1 | tee "$OUT/bench_infer_both.json"
+
 echo "== 7. HTTP server load test on TPU (flagship w8a8) =="
 timeout 1200 python tools/loadtest_server.py --full --quantize w8a8 \
     --clients 16 --requests 10 --batch_size 16 2>&1 | tee "$OUT/loadtest_tpu.json"
