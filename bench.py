@@ -243,6 +243,12 @@ def main():
 
     chain = make_chain("frames")
     chain_pm = make_chain("patches")
+    # candidate-kernel modes (round 4): fused extras kernel and int8 QK^T
+    # score dots, trace-time flags — each gets its own jit closure and the
+    # flag is held during compile+measure, so the driver's bench captures
+    # the best gated mode even if no builder session saw a healthy window
+    chain_fx = make_chain("patches")
+    chain_fx_qk = make_chain("patches")
     fwd = jax.jit(forward_fn, static_argnums=(2,))
 
     video = jax.jit(lambda k: jax.random.uniform(
@@ -270,14 +276,31 @@ def main():
     p_ref = np.asarray(jax.nn.softmax(fwd(params_bf16, video, 'frames'), -1),
                        np.float32)
 
-    def gated_mode(params, c=None, vid=None, input_format="frames"):
+    def _set_candidate_flags(fused_extras=False, int8_qk=False):
+        from gava_clip_tpu.ops.extras_kernel import set_fused_extras
+        from gava_clip_tpu.ops.flash_attention import set_int8_qk
+        set_fused_extras(fused_extras)
+        set_int8_qk(int8_qk)
+
+    def gated_mode(params, c=None, vid=None, input_format="frames",
+                   flags=None, fwd_fn=None):
         """(clips/s, prob delta vs bf16, gate ok) for one mode; a failure
-        never loses the bench line."""
+        never loses the bench line. flags: candidate-kernel knobs held
+        during trace+measure (trace-time switches; each mode gets its own
+        jit closures so traces never leak across modes)."""
         try:
-            cps = measure(params, c=c, vid=vid)
-            p_q = np.asarray(jax.nn.softmax(
-                fwd(params, vid if vid is not None else video, input_format),
-                -1), np.float32)
+            if flags:
+                _set_candidate_flags(**flags)
+            try:
+                cps = measure(params, c=c, vid=vid)
+                p_q = np.asarray(jax.nn.softmax(
+                    (fwd_fn or fwd)(params,
+                                    vid if vid is not None else video,
+                                    input_format),
+                    -1), np.float32)
+            finally:
+                if flags:
+                    _set_candidate_flags()
             delta = float(np.abs(p_ref - p_q).max())
             return cps, delta, delta <= 0.05
         except Exception as e:
@@ -289,11 +312,30 @@ def main():
     cps_pm, prob_delta_pm, pm_ok = gated_mode(
         params_w8a8, c=chain_pm, vid=video_pm, input_format="patches")
 
+    # candidate kernels (TPU only — the flags gate on kernels_active paths)
+    cps_fx = cps_fxqk = 0.0
+    d_fx = d_fxqk = None
+    fx_ok = fxqk_ok = False
+    if jax.default_backend() == "tpu":
+        cps_fx, d_fx, fx_ok = gated_mode(
+            params_w8a8, c=chain_fx, vid=video_pm, input_format="patches",
+            flags={"fused_extras": True},
+            fwd_fn=jax.jit(forward_fn, static_argnums=(2,)))
+        cps_fxqk, d_fxqk, fxqk_ok = gated_mode(
+            params_w8a8, c=chain_fx_qk, vid=video_pm,
+            input_format="patches",
+            flags={"fused_extras": True, "int8_qk": True},
+            fwd_fn=jax.jit(forward_fn, static_argnums=(2,)))
+
     clips_per_sec, mode = cps_bf16, "bf16"
     if w8a8_ok and cps_w8a8 > clips_per_sec:
         clips_per_sec, mode = cps_w8a8, "w8a8"
     if pm_ok and cps_pm > clips_per_sec:
         clips_per_sec, mode = cps_pm, "w8a8+patch_major"
+    if fx_ok and cps_fx > clips_per_sec:
+        clips_per_sec, mode = cps_fx, "w8a8+patch_major+fused_extras"
+    if fxqk_ok and cps_fxqk > clips_per_sec:
+        clips_per_sec, mode = cps_fxqk, "w8a8+patch_major+fused_extras+int8_qk"
 
     # B=1 latency probe (p50 over per-call timings; includes relay RTT)
     lat = []
@@ -341,10 +383,16 @@ def main():
         "clips_per_sec_bf16": round(cps_bf16, 1),
         "clips_per_sec_w8a8": round(cps_w8a8, 1),
         "clips_per_sec_w8a8_patch_major": round(cps_pm, 1),
+        "clips_per_sec_fused_extras": round(cps_fx, 1),
+        "clips_per_sec_fused_extras_int8_qk": round(cps_fxqk, 1),
         "w8a8_prob_delta_vs_bf16": (None if prob_delta is None
                                     else round(prob_delta, 4)),
         "pm_prob_delta_vs_bf16": (None if prob_delta_pm is None
                                   else round(prob_delta_pm, 4)),
+        "fx_prob_delta_vs_bf16": (None if d_fx is None
+                                  else round(d_fx, 4)),
+        "fxqk_prob_delta_vs_bf16": (None if d_fxqk is None
+                                    else round(d_fxqk, 4)),
         "w8a8_accuracy_gate": "pass" if w8a8_ok else "FAIL",
         "w8a8_gate_weights": "synthetic + CLIP pathologies (LN-gain outlier "
                              "channels, heavy-tailed weight rows)",
