@@ -386,7 +386,7 @@ def _block(p, g_prompt, x, cfg: VisionConfig, attn_impl: str,
 def vision_encoder(params, x: jax.Array, cfg: VisionConfig,
                    compute_dtype=jnp.float32, attn_impl: str = "xla",
                    remat: bool = False, scan_unroll: int = 1,
-                   input_format: str = "frames"):
+                   input_format: str = "frames", pp=None):
     """Encode video (B, T, H, W, 3) -> (video_features (B, embed_dim),
     summary (B, feature_dim) | None).
 
@@ -493,9 +493,30 @@ def vision_encoder(params, x: jax.Array, cfg: VisionConfig,
     else:
         body = scan_body
     init_summary = jnp.zeros((Bb, Tb, D), x.dtype)
-    (x, summary), _ = jax.lax.scan(body, (x, init_summary),
-                                   (params["blocks"], g_prompts),
-                                   unroll=scan_unroll)
+    if pp is not None:
+        # pipeline parallelism over the block stack (forward/serving path;
+        # the GPipe schedule in parallel/pipeline.py). Layer weights are
+        # restaged (S, L/S, ...) inline — under jit+GSPMD the shard_map
+        # in_specs shard them over the 'pipe' axis; pre-shard with
+        # parallel.pipeline.stage_params to avoid the one-time reshuffle.
+        assert not remat or remat == "none", \
+            "pipeline parallelism is forward-path only (no remat)"
+        from ..parallel.pipeline import pipeline_scan
+        pp_mesh, pp_micro = pp
+        S = pp_mesh.shape["pipe"]
+        staged = jax.tree_util.tree_map(
+            lambda l: l.reshape(S, l.shape[0] // S, *l.shape[1:]),
+            (params["blocks"], g_prompts))
+
+        def block_fn(carry, layer_params):
+            return scan_body(carry, layer_params)[0]
+
+        x, summary = pipeline_scan(block_fn, staged, (x, init_summary),
+                                   pp_mesh, microbatches=pp_micro)
+    else:
+        (x, summary), _ = jax.lax.scan(body, (x, init_summary),
+                                       (params["blocks"], g_prompts),
+                                       unroll=scan_unroll)
 
     cls_x = layer_norm(x[:, 0], params["ln_post"]["scale"], params["ln_post"]["bias"])
     cls_x = cls_x @ params["proj"].astype(cls_x.dtype)

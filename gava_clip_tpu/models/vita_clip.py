@@ -180,12 +180,16 @@ class VitaClip:
               attn_impl: str = "xla",
               remat: bool = False,
               scan_unroll: int = 1,
-              input_format: str = "frames") -> Dict[str, jax.Array]:
+              input_format: str = "frames",
+              pp=None) -> Dict[str, jax.Array]:
         """Forward pass.
 
         x: video (B, T, H, W, 3) — or (B, T, N, ph*pw*3) patch-major rows
         with input_format='patches' (models/vision.py patchify); memory:
         (Bm, S, E); video_nte: (B, 70, E).
+        pp: optional (mesh-with-'pipe'-axis, microbatches) — pipeline-
+        parallel execution of the vision block stack (forward path;
+        parallel/pipeline.py).
         Returns dict with logits (B, n_cls), text_features (n_cls, E), and
         optionally logits_mt (Bm, n_cls), logits_vm (B, B), desc_logits.
         Mirrors reference VitaCLIP.forward (VitaCLIP_model.py:241-401).
@@ -196,7 +200,7 @@ class VitaClip:
         video_features, summary = vision_encoder(
             params["visual"], x, cfg.vision, compute_dtype=compute_dtype,
             attn_impl=attn_impl, remat=remat, scan_unroll=scan_unroll,
-            input_format=input_format)
+            input_format=input_format, pp=pp)
         video_features = _l2norm(video_features.astype(jnp.float32))
         logit_scale = jnp.exp(params["logit_scale"])
 

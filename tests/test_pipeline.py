@@ -96,3 +96,30 @@ def test_stage_params_validates_divisibility():
     mesh = _pipe_mesh(2)
     with pytest.raises(ValueError, match="not divisible"):
         stage_params({"w": jnp.zeros((3, 4, 4))}, mesh)
+
+
+def test_pipeline_full_model_forward_matches_default():
+    """model.apply(pp=(mesh, M)) — the ENTIRE zero-shot forward with the
+    vision block stack pipelined over 2 stages — must reproduce the
+    default sequential logits (vision.py wires parallel/pipeline.py behind
+    the pp kwarg)."""
+    from gava_clip_tpu.models.vision import VisionConfig
+    from gava_clip_tpu.models.vita_clip import VitaClip, VitaClipConfig
+    tf = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    cfg = VisionConfig(input_size=(32, 32), num_frames=2, feature_dim=32,
+                       patch_size=(16, 16), heads=2, layers=4,
+                       mlp_factor=2.0, embed_dim=16,
+                       use_summary_token=True, use_local_prompts=True,
+                       use_global_prompts=True, num_global_prompts=2)
+    model = VitaClip(VitaClipConfig(vision=cfg, num_classes=3,
+                                    zeroshot_evaluation=True),
+                     zeroshot_text_features=tf)
+    rs = np.random.RandomState(4)
+    video = jnp.asarray(rs.rand(4, 2, 32, 32, 3).astype(np.float32))
+
+    want = np.asarray(model.apply(model.params, model.buffers,
+                                  video)["logits"], np.float32)
+    mesh = _pipe_mesh(2)
+    got = np.asarray(model.apply(model.params, model.buffers, video,
+                                 pp=(mesh, 2))["logits"], np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

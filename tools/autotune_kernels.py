@@ -1,0 +1,113 @@
+"""Block-size autotune sweep for the w8a8 serving kernels at the exact
+flagship zero-shot shapes (B=16, T=8, aligned layout: 200 patch rows + 24
+extras rows per clip). The ceiling table puts the two GEMM kernels ~0.10
+ms/layer off their own measured shape-ceiling; block size is the one knob
+not yet swept at the POST-layout-fix shapes. Chain-difference timing.
+
+Prints one line per config; the winner gets baked as the kernel default
+with the measurement in the commit message (repo convention).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+ITERS_LO, ITERS_HI = 30, 150
+
+
+def chain_time(fn, *args, reps=3):
+    best = {}
+    for iters in (ITERS_LO, ITERS_HI):
+        @jax.jit
+        def chain(*a, iters=iters):
+            def body(i, carry):
+                out = fn(*carry)
+                return tuple(c + (out.reshape(-1)[0] * 0).astype(c.dtype)
+                             for c in carry)
+            return jax.lax.fori_loop(0, iters, body, a)[0].reshape(-1)[0]
+
+        float(chain(*args))
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(*args))
+            b = min(b, time.perf_counter() - t0)
+        best[iters] = b
+    return (best[ITERS_HI] - best[ITERS_LO]) / (ITERS_HI - ITERS_LO)
+
+
+def main():
+    from gava_clip_tpu.ops.int8_matmul import (w8a8_matmul3_cat,
+                                               w8a8_mlp_res)
+    rs = np.random.RandomState(0)
+    if os.environ.get("GAVA_AUTOTUNE_SMALL"):   # CPU smoke of the harness
+        B, T, D = 2, 2, 64
+        Lx, Le = 16, 8
+    else:
+        B, T, D = 16, 8, 768
+        Lx, Le = 200, 24
+    BT = B * T
+    dt = jnp.bfloat16
+
+    def qw(k, n):
+        w = rs.randn(k, n).astype(np.float32)
+        q = np.clip(np.round(w / np.abs(w).max(0) * 127), -127,
+                    127).astype(np.int8)
+        s = (np.abs(w).max(0) / 127).astype(np.float32).reshape(1, -1)
+        return jnp.asarray(q), jnp.asarray(s)
+
+    x = jnp.asarray(rs.randn(BT, Lx, D).astype(np.float32) * 0.1, dt)
+    e = jnp.asarray(rs.randn(BT, Le, D).astype(np.float32) * 0.1, dt)
+    ln = (jnp.ones((D,), dt), jnp.zeros((D,), dt))
+    wq3 = []
+    sc3 = []
+    b3 = []
+    for _ in range(3):
+        q, s = qw(D, D)
+        wq3.append(q); sc3.append(s)
+        b3.append(jnp.asarray(rs.randn(D).astype(np.float32) * 0.01, dt))
+    wq3, sc3, b3 = tuple(wq3), tuple(sc3), tuple(b3)
+
+    print(f"== w8a8_matmul3_cat clips_per_block sweep (BT={BT}, "
+          f"Lx={Lx}, Le={Le}) ==")
+    for cpb in (1, 2, 4, 8, 16):
+        if BT % cpb:
+            continue
+        try:
+            f = lambda x, e, cpb=cpb: w8a8_matmul3_cat(
+                x, e, wq3, sc3, bias3=b3, ln=ln, clips_per_block=cpb)[0]
+            ms = chain_time(f, x, e) * 1e3
+            print(f"cpb={cpb:3d}: {ms:.4f} ms")
+        except Exception as ex:
+            print(f"cpb={cpb:3d}: FAILED {ex!r}"[:120])
+
+    M = BT * Lx
+    x2 = jnp.asarray(rs.randn(M, D).astype(np.float32) * 0.1, dt)
+    r2 = jnp.asarray(rs.randn(M, D).astype(np.float32) * 0.1, dt)
+    q1, s1 = qw(D, 4 * D)
+    q2, s2 = qw(4 * D, D)
+    fc1 = {"kernel": {"qa": q1, "scale": s1},
+           "bias": jnp.zeros((4 * D,), dt)}
+    fc2 = {"kernel": {"qa": q2, "scale": s2}, "bias": jnp.zeros((D,), dt)}
+    lnp = (jnp.ones((D,), dt), jnp.zeros((D,), dt))
+
+    print(f"== w8a8_mlp_res block_m sweep (M={M}) ==")
+    for bm in (256, 400, 512, 640, 856, 1024, 1600):
+        try:
+            f = lambda x2, r2, bm=bm: w8a8_mlp_res(x2, fc1, fc2, lnp, r2,
+                                                   block_m=bm)
+            ms = chain_time(f, x2, r2) * 1e3
+            print(f"block_m={bm:5d}: {ms:.4f} ms")
+        except Exception as ex:
+            print(f"block_m={bm:5d}: FAILED {ex!r}"[:120])
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,9 @@ timeout 1500 env GAVA_FUSED_EXTRAS=1 python bench.py 2>&1 | tee "$OUT/bench_infe
 echo "== 6d. A/B: both candidates together =="
 timeout 1500 env GAVA_FUSED_EXTRAS=1 GAVA_INT8_QK=1 python bench.py 2>&1 | tee "$OUT/bench_infer_both.json"
 
+echo "== 6e. block-size autotune at the serving shapes =="
+timeout 1200 python tools/autotune_kernels.py 2>&1 | tee "$OUT/autotune.txt"
+
 echo "== 7. HTTP server load test on TPU (flagship w8a8) =="
 timeout 1200 python tools/loadtest_server.py --full --quantize w8a8 \
     --clients 16 --requests 10 --batch_size 16 2>&1 | tee "$OUT/loadtest_tpu.json"
