@@ -270,6 +270,7 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
             if not anomaly.check_loss(loss_v):
                 _log(f"[anomaly] non-finite loss at step {i}")
                 if getattr(args, "nan_recovery", False):
+                    ckpt_lib.wait_for_saves()   # rollback target may still be in flight
                     rollback = ckpt_lib.find_autoresume_path(args.checkpoint_dir)
                     if rollback:
                         from ..train.state import TrainState, partition_params
@@ -330,15 +331,19 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
                     if args.use_text_prompt_learning else None
                 ckpt_lib.save_checkpoint(args.checkpoint_dir, state, i + 1,
                                          text_features=tf, is_best=True,
-                                         name=f"fold-{fold}")
+                                         name=f"fold-{fold}",
+                                         async_write=True)
 
         if (i + 1) % args.save_freq == 0:
             tf = np.asarray(text_features_fn(state.params)) \
                 if args.use_text_prompt_learning else None
+            # device->host fetch is synchronous (donated buffers); the
+            # multi-hundred-MB pickle+disk write overlaps the next steps
             ckpt_lib.save_checkpoint(args.checkpoint_dir, state, i + 1,
-                                     text_features=tf)
+                                     text_features=tf, async_write=True)
         batch_st = time.time()
 
+    ckpt_lib.wait_for_saves()   # fold end: all checkpoints on disk
     if writer is not None:
         writer.close()
     return best_acc, save_conf

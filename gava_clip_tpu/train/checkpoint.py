@@ -27,14 +27,55 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+# async checkpoint writes: the device->host fetch stays SYNCHRONOUS (the
+# train step donates the state buffers, so the fetch must complete before
+# the next step call), but the pickle+disk write — seconds for the ~600 MB
+# flagship payload — overlaps training on one writer thread. One worker
+# keeps writes ordered (a later save of the same path never loses to an
+# earlier one).
+_WRITER = None
+_PENDING = []
+
+
+def _writer():
+    global _WRITER
+    if _WRITER is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _WRITER = ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix="ckpt-writer")
+    return _WRITER
+
+
+def wait_for_saves() -> None:
+    """Block until all async checkpoint writes landed; re-raise the first
+    failure. Call before loading a just-saved checkpoint (NaN rollback),
+    at fold end, and before process exit."""
+    global _PENDING
+    pending, _PENDING = _PENDING, []
+    for fut in pending:
+        fut.result()
+
+
+def _write_payload(payload, path: str) -> str:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+    return path
+
+
 def save_checkpoint(checkpoint_dir: str, state: TrainState, next_step: int,
                     text_features: Optional[np.ndarray] = None,
-                    is_best: bool = False, name: str = "checkpoint") -> str:
+                    is_best: bool = False, name: str = "checkpoint",
+                    async_write: bool = False) -> str:
     """Write a checkpoint (reference save_checkpoint, checkpoint.py:80-109).
 
     Format: a single .npz-like pickle of numpy arrays, structured as
     {params, opt_state, next_step, text_features}. Pickle keeps the exact
     pytree (incl. optax state namedtuples) without an external registry.
+
+    async_write: fetch to host now, write on the background writer thread
+    (wait_for_saves() joins). The returned path is where the file WILL be.
     """
     if not checkpoint_dir:
         return ""
@@ -47,11 +88,10 @@ def save_checkpoint(checkpoint_dir: str, state: TrainState, next_step: int,
     }
     fname = f"{name}-best.ckpt" if is_best else f"{name}-{next_step}.ckpt"
     path = osp.join(checkpoint_dir, fname)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
-    os.replace(tmp, path)
-    return path
+    if async_write:
+        _PENDING.append(_writer().submit(_write_payload, payload, path))
+        return path
+    return _write_payload(payload, path)
 
 
 def save_checkpoint_orbax(checkpoint_dir: str, state: TrainState,

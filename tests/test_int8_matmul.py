@@ -180,3 +180,41 @@ def test_int8_qkv3_st_backward_matches_float_reference():
     gx_ref = jax.grad(ref)(x)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
                                rtol=0.05, atol=0.05)
+
+
+def test_w8a8_matmul3_cat_shape_fuzz():
+    """Stitched two-input qkv kernel across (Lx, Le, B, clips_per_block)
+    combinations — every 8-aligned serving geometry must match the
+    concatenated single-input kernel (robustness for batch-sweep and
+    future shape changes)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gava_clip_tpu.ops.int8_matmul import w8a8_matmul3, w8a8_matmul3_cat
+    rs = np.random.RandomState(21)
+    K, N = 32, 48
+    ln = (jnp.asarray(np.abs(rs.randn(K)).astype(np.float32) + 0.5),
+          jnp.asarray(rs.randn(K).astype(np.float32) * 0.1))
+    qs, ss, b3 = [], [], []
+    for _ in range(3):
+        w = rs.randn(K, N).astype(np.float32)
+        q = np.clip(np.round(w / np.abs(w).max(0) * 127), -127,
+                    127).astype(np.int8)
+        qs.append(jnp.asarray(q))
+        ss.append(jnp.asarray((np.abs(w).max(0) / 127)
+                              .astype(np.float32).reshape(1, -1)))
+        b3.append(jnp.asarray(rs.randn(N).astype(np.float32) * 0.01))
+    qs, ss, b3 = tuple(qs), tuple(ss), tuple(b3)
+
+    for B, Lx, Le, cpb in [(2, 8, 8, 1), (4, 16, 8, 2), (4, 24, 16, 4),
+                           (6, 8, 24, 3), (8, 32, 8, 8)]:
+        x = jnp.asarray(rs.randn(B, Lx, K).astype(np.float32) * 0.3)
+        e = jnp.asarray(rs.randn(B, Le, K).astype(np.float32) * 0.3)
+        got = w8a8_matmul3_cat(x, e, qs, ss, bias3=b3, ln=ln,
+                               clips_per_block=cpb)
+        kv = jnp.concatenate([x, e], axis=1).reshape(-1, K)
+        want = w8a8_matmul3(kv, qs, ss, bias3=b3, ln=ln)
+        for g, w_ in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g.reshape(-1, N)), np.asarray(w_),
+                atol=1e-4, rtol=1e-4,
+                err_msg=f"B={B} Lx={Lx} Le={Le} cpb={cpb}")

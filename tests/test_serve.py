@@ -136,3 +136,45 @@ def test_patch_major_w8a8_classifier_close():
                                              np.uint8)
     np.testing.assert_allclose(clf_pm.classify_clips(clips),
                                clf.classify_clips(clips), atol=0.05)
+
+
+def test_patch_major_w8a8_mesh_classifier_matches_single():
+    """patch_major + w8a8 + 2-device data mesh (the full production serving
+    composition: folded normalization, int8 sidecar patch GEMM, shard_map)
+    must reproduce the single-device probabilities. Pallas serving kernels
+    run interpret-mode under the mesh via force_tpu_kernels."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from gava_clip_tpu.ops.int8_matmul import force_tpu_kernels
+    from gava_clip_tpu.models.text import TextConfig
+    from gava_clip_tpu.models.vision import VisionConfig
+    from gava_clip_tpu.models.vita_clip import VitaClip, VitaClipConfig
+    tf = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    cfg = VitaClipConfig(
+        vision=VisionConfig(input_size=(32, 32), num_frames=2,
+                            feature_dim=32, patch_size=(16, 16), heads=2,
+                            layers=2, mlp_factor=2.0, embed_dim=16,
+                            use_summary_token=True, use_local_prompts=True,
+                            use_global_prompts=True, num_global_prompts=2),
+        num_classes=3, zeroshot_evaluation=True)
+    model = VitaClip(cfg, zeroshot_text_features=tf)
+    names = ["a", "b", "c"]
+    rs = np.random.RandomState(3)
+    clips = rs.randint(0, 255, (4, 2, 32, 32, 3), np.uint8)
+
+    force_tpu_kernels(True)
+    try:
+        p0 = VideoClassifier.from_model(
+            model, names, batch_size=4, quantize="w8a8",
+            attn_impl="flash", patch_major=True).warmup().classify_clips(
+            clips)
+        mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+        p1 = VideoClassifier.from_model(
+            model, names, batch_size=4, quantize="w8a8",
+            attn_impl="flash", patch_major=True,
+            mesh=mesh).warmup().classify_clips(clips)
+    finally:
+        force_tpu_kernels(False)
+    np.testing.assert_allclose(p0, p1, atol=1e-5)
+    np.testing.assert_allclose(p0.sum(-1), 1.0, atol=1e-3)

@@ -17,9 +17,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("GAVA_AUTOTUNE_SMALL"):
+    # CPU smoke must not touch the axon TPU plugin — client creation blocks
+    # indefinitely during a relay outage (CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
-ITERS_LO, ITERS_HI = 30, 150
+ITERS_LO, ITERS_HI = ((2, 6) if os.environ.get("GAVA_AUTOTUNE_SMALL")
+                      else (30, 150))
 
 
 def chain_time(fn, *args, reps=3):

@@ -58,3 +58,15 @@ timeout 1200 python tools/loadtest_server.py --full --quantize w8a8 \
     --clients 16 --requests 10 --batch_size 16 2>&1 | tee "$OUT/loadtest_tpu.json"
 
 echo "== queued bench r04 done =="
+
+# self-commit the artifacts: the watcher may fire while the builder session
+# is idle, and a recorded healthy window must not depend on anyone noticing
+cd /root/repo
+git add queued_bench_r04
+git commit -m "queued bench r04: TPU measurements from the first healthy relay window
+
+Captured by tools/arm_queued_bench.sh (self-arming probe loop): inference
+and train bench JSONs, saved-residual vs recompute flash-backward A/B,
+int8-QK and fused-extras candidate A/Bs, scan-unroll and batch sweeps,
+kernel block-size autotune, per-kernel profile, TPU server load test." \
+    || echo "nothing to commit"
