@@ -282,6 +282,13 @@ def main():
         set_fused_extras(fused_extras)
         set_int8_qk(int8_qk)
 
+    # the candidates are measured as their OWN modes below; env-armed
+    # GAVA_INT8_QK/GAVA_FUSED_EXTRAS would otherwise silently contaminate
+    # the baseline w8a8/patch-major traces (and the first reset would then
+    # flip them mid-run) — every number in one bench line must come from
+    # the path its label names
+    _set_candidate_flags()
+
     def gated_mode(params, c=None, vid=None, input_format="frames",
                    flags=None, fwd_fn=None):
         """(clips/s, prob delta vs bf16, gate ok) for one mode; a failure

@@ -15,7 +15,6 @@ import argparse
 import os
 import os.path as osp
 import time
-import weakref
 from datetime import datetime
 from typing import List, Optional
 
@@ -69,25 +68,27 @@ def _mean_std(args):
     return norm3(args.mean, 0.45), norm3(args.std, 0.225)
 
 
-# jitted eval steps are cached per (model, shape) so repeated eval passes in
-# one fold reuse the compiled executable instead of re-tracing. Keyed on the
-# model OBJECT via a WeakKeyDictionary — id(model) is recyclable after GC
-# (a later model at a reused address would silently get a step closing over
-# the dead one) and an id-keyed dict grows unboundedly across folds.
-_EVAL_STEP_CACHE = weakref.WeakKeyDictionary()
-
-
+# jitted eval steps are cached ON the model object so repeated eval passes
+# in one fold reuse the compiled executable instead of re-tracing. Not an
+# id(model)-keyed module dict (ids are recyclable after GC — a later model
+# at a reused address would silently get a step closing over the dead one)
+# and not a WeakKeyDictionary either: the cached step closes over the model,
+# so a weak-dict VALUE would strongly pin its own KEY and never evict.
+# Storing on the instance makes the model<->step cycle gc-collectable the
+# moment the fold drops its model reference.
 def _get_eval_step(model, num_classes, mean, std, compute_dtype, attn_impl,
                    num_views):
     from ..train.step import make_eval_step
     key = (num_classes, tuple(mean), tuple(std),
            str(compute_dtype), attn_impl, num_views)
-    per_model = _EVAL_STEP_CACHE.setdefault(model, {})
-    if key not in per_model:
-        per_model[key] = make_eval_step(
+    cache = getattr(model, "_eval_step_cache", None)
+    if cache is None:
+        cache = model._eval_step_cache = {}
+    if key not in cache:
+        cache[key] = make_eval_step(
             model, num_classes, compute_dtype=compute_dtype,
             attn_impl=attn_impl, mean=mean, std=std, num_views=num_views)
-    return per_model[key]
+    return cache[key]
 
 
 def evaluate(model, params, loader, num_classes: int, mean, std,
@@ -270,7 +271,15 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
             if not anomaly.check_loss(loss_v):
                 _log(f"[anomaly] non-finite loss at step {i}")
                 if getattr(args, "nan_recovery", False):
-                    ckpt_lib.wait_for_saves()   # rollback target may still be in flight
+                    try:
+                        # rollback target may still be in flight
+                        ckpt_lib.wait_for_saves()
+                    except Exception as e:
+                        # a stale write failure (e.g. ENOSPC) must not
+                        # abort the recovery itself — log and roll back to
+                        # whatever checkpoint did land
+                        _log(f"[anomaly] async checkpoint write failed: "
+                             f"{e!r}")
                     rollback = ckpt_lib.find_autoresume_path(args.checkpoint_dir)
                     if rollback:
                         from ..train.state import TrainState, partition_params

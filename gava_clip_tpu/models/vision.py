@@ -452,7 +452,9 @@ def vision_encoder(params, x: jax.Array, cfg: VisionConfig,
         p, g = layer_params
         h, summary = _block(p, g, h, cfg, attn_impl, lx_valid=lx_valid)
         if summary is None:
-            summary = jnp.zeros((Bb, Tb, D), h.dtype)
+            # sized from the LOCAL h (not the closed-over full-batch Bb):
+            # under pipeline_scan the carry is a microbatch slice
+            summary = jnp.zeros((h.shape[0] // Tb, Tb, D), h.dtype)
         return (h, summary), None
 
     # remat: False/"none" saves all activations; True/"full" recomputes the
@@ -501,12 +503,10 @@ def vision_encoder(params, x: jax.Array, cfg: VisionConfig,
         # parallel.pipeline.stage_params to avoid the one-time reshuffle.
         assert not remat or remat == "none", \
             "pipeline parallelism is forward-path only (no remat)"
-        from ..parallel.pipeline import pipeline_scan
+        from ..parallel.pipeline import pipeline_scan, restage
         pp_mesh, pp_micro = pp
-        S = pp_mesh.shape["pipe"]
-        staged = jax.tree_util.tree_map(
-            lambda l: l.reshape(S, l.shape[0] // S, *l.shape[1:]),
-            (params["blocks"], g_prompts))
+        staged = restage((params["blocks"], g_prompts),
+                         pp_mesh.shape["pipe"])
 
         def block_fn(carry, layer_params):
             return scan_body(carry, layer_params)[0]

@@ -24,7 +24,6 @@ one chip); pipeline parallelism is shipped for the regime where they don't,
 and to complete the dp x tp x sp x pp sharding surface.
 """
 
-import functools
 from typing import Callable
 
 import jax
@@ -32,21 +31,25 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def restage(stacked, n_stages: int):
+    """Reshape every (L, ...) stacked leaf to (S, L/S, ...) with a clear
+    error on uneven layer counts. Traceable (used inline under jit)."""
+    def reshape(x):
+        L = x.shape[0]
+        if L % n_stages != 0:
+            raise ValueError(
+                f"stage_params: layer count {L} not divisible by "
+                f"{n_stages} pipeline stages")
+        return x.reshape(n_stages, L // n_stages, *x.shape[1:])
+
+    return jax.tree_util.tree_map(reshape, stacked)
+
+
 def stage_params(stacked, mesh: Mesh, axis: str = "pipe"):
     """Reshape every (L, ...) stacked leaf to (S, L/S, ...) and shard the
     leading stage axis over the mesh's `axis`. L must divide evenly."""
-    S = mesh.shape[axis]
-
-    def reshape(x):
-        L = x.shape[0]
-        if L % S != 0:
-            raise ValueError(
-                f"stage_params: layer count {L} not divisible by "
-                f"{S} pipeline stages")
-        return x.reshape(S, L // S, *x.shape[1:])
-
-    tree = jax.tree_util.tree_map(reshape, stacked)
-    return jax.device_put(tree, NamedSharding(mesh, P(axis)))
+    return jax.device_put(restage(stacked, mesh.shape[axis]),
+                          NamedSharding(mesh, P(axis)))
 
 
 def pipeline_scan(block_fn: Callable, staged_params, x, mesh: Mesh,

@@ -47,13 +47,21 @@ def _writer():
 
 
 def wait_for_saves() -> None:
-    """Block until all async checkpoint writes landed; re-raise the first
-    failure. Call before loading a just-saved checkpoint (NaN rollback),
-    at fold end, and before process exit."""
+    """Block until ALL async checkpoint writes landed, then re-raise the
+    first failure (every future is joined first — a stale error must not
+    leave later writes un-checked). Call before loading a just-saved
+    checkpoint (NaN rollback), at fold end, and before process exit."""
     global _PENDING
     pending, _PENDING = _PENDING, []
+    first_err = None
     for fut in pending:
-        fut.result()
+        try:
+            fut.result()
+        except Exception as e:
+            if first_err is None:
+                first_err = e
+    if first_err is not None:
+        raise first_err
 
 
 def _write_payload(payload, path: str) -> str:

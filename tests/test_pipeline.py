@@ -123,3 +123,29 @@ def test_pipeline_full_model_forward_matches_default():
     got = np.asarray(model.apply(model.params, model.buffers, video,
                                  pp=(mesh, 2))["logits"], np.float32)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_no_summary_token_microbatched():
+    """Regression (round-4 review): with use_summary_token=False the
+    scan_body substitute summary must size from the LOCAL microbatch, not
+    the closed-over full batch — pp=(mesh, M>1) used to trip a fori_loop
+    carry-shape mismatch on prompts-off configs."""
+    from gava_clip_tpu.models.vision import VisionConfig
+    from gava_clip_tpu.models.vita_clip import VitaClip, VitaClipConfig
+    tf = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    cfg = VisionConfig(input_size=(32, 32), num_frames=2, feature_dim=32,
+                       patch_size=(16, 16), heads=2, layers=4,
+                       mlp_factor=2.0, embed_dim=16,
+                       use_summary_token=False, use_local_prompts=False,
+                       use_global_prompts=False)
+    model = VitaClip(VitaClipConfig(vision=cfg, num_classes=3,
+                                    zeroshot_evaluation=True),
+                     zeroshot_text_features=tf)
+    rs = np.random.RandomState(8)
+    video = jnp.asarray(rs.rand(4, 2, 32, 32, 3).astype(np.float32))
+    want = np.asarray(model.apply(model.params, model.buffers,
+                                  video)["logits"], np.float32)
+    got = np.asarray(model.apply(model.params, model.buffers, video,
+                                 pp=(_pipe_mesh(2), 2))["logits"],
+                     np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

@@ -17,11 +17,12 @@ cd "$(dirname "$0")/.."
 echo "== 0. device probe ==" | tee "$OUT/probe.txt"
 timeout 120 python -c "import jax,time; t=time.time(); d=jax.devices(); print(d, f'{time.time()-t:.1f}s')" 2>&1 | tee -a "$OUT/probe.txt"
 
-echo "== 1. inference bench (headline JSON) =="
-timeout 1500 python bench.py 2>&1 | tee "$OUT/bench_infer.json"
+echo "== 1. inference bench (headline JSON; measures the candidate modes too) =="
+timeout 1500 python bench.py 2> "$OUT/bench_infer.log" | tee "$OUT/bench_infer.json"
 
 echo "== 2. train bench JSON (save_attn_qkv — saved-residual bwd) =="
-timeout 1500 python bench.py --train --steps 15 2>&1 | tee "$OUT/bench_train.json"
+timeout 1500 python bench.py --train --steps 15 \
+    2> "$OUT/bench_train.log" | tee "$OUT/bench_train.json"
 
 echo "== 3. train-step remat sweep (saved-residual bwd re-timing) =="
 timeout 1800 python tools/bench_train_step.py \
@@ -41,21 +42,18 @@ timeout 1200 python tools/bench_pm_sweep.py 2>&1 | tee "$OUT/pm_sweep.txt"
 echo "== 6. per-layer bwd kernel self-time (profile_train) =="
 timeout 1200 python tools/profile_train.py 2>&1 | tee "$OUT/profile_train.txt"
 
-echo "== 6b. A/B: int8 QK^T score dots in the serving kernels =="
-timeout 1500 env GAVA_INT8_QK=1 python bench.py 2>&1 | tee "$OUT/bench_infer_int8qk.json"
-
-echo "== 6c. A/B: fused extras kernel =="
-timeout 1500 env GAVA_FUSED_EXTRAS=1 python bench.py 2>&1 | tee "$OUT/bench_infer_fusedextras.json"
-
-echo "== 6d. A/B: both candidates together =="
-timeout 1500 env GAVA_FUSED_EXTRAS=1 GAVA_INT8_QK=1 python bench.py 2>&1 | tee "$OUT/bench_infer_both.json"
+# (former steps 6b-6d — env-flagged candidate bench runs — are gone:
+# bench.py measures the int8-QK and fused-extras candidates as its own
+# gated modes in step 1, with per-mode jit closures; env-arming them also
+# contaminated the baseline labels)
 
 echo "== 6e. block-size autotune at the serving shapes =="
 timeout 1200 python tools/autotune_kernels.py 2>&1 | tee "$OUT/autotune.txt"
 
 echo "== 7. HTTP server load test on TPU (flagship w8a8) =="
 timeout 1200 python tools/loadtest_server.py --full --quantize w8a8 \
-    --clients 16 --requests 10 --batch_size 16 2>&1 | tee "$OUT/loadtest_tpu.json"
+    --clients 16 --requests 10 --batch_size 16 \
+    2> "$OUT/loadtest_tpu.log" | tee "$OUT/loadtest_tpu.json"
 
 echo "== queued bench r04 done =="
 
