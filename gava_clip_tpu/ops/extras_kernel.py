@@ -77,7 +77,10 @@ def _extras_kernel(cls_ref, wc_ref, bc_ref, lns_ref, lnb_ref,
     cols = jax.lax.broadcasted_iota(jnp.int32, (BT, BT), 1)
     blockmask = (rows // Tb) == (cols // Tb)
     scale = head_dim ** -0.5
-    attn = jnp.zeros((BT, D), f32)
+    heads_out = []
+    # per-head outputs are concatenated (a VMEM value build) rather than
+    # scattered via .at[].set — the scatter lowering captures an empty
+    # index constant pallas_call rejects for some head geometries
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         s = jax.lax.dot_general(q[:, sl], k[:, sl],
@@ -87,8 +90,9 @@ def _extras_kernel(cls_ref, wc_ref, bc_ref, lns_ref, lnb_ref,
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
-        attn = attn.at[:, sl].set(
-            jnp.dot(p, v[:, sl], preferred_element_type=f32))
+        heads_out.append(jnp.dot(p, v[:, sl], preferred_element_type=f32))
+    attn = (heads_out[0] if num_heads == 1
+            else jnp.concatenate(heads_out, axis=1))
     summary = cp + jnp.dot(attn, wo_ref[...].astype(f32),
                            preferred_element_type=f32) \
         + bo_ref[...].astype(f32)

@@ -100,3 +100,54 @@ def test_fused_extras_end_to_end_w8a8_logits():
         force_tpu_kernels(False)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
     assert np.abs(got).max() > 0
+
+def test_fused_extras_geometry_fuzz():
+    """The fused kernel across (Bb, Tb, G, heads) geometries — the one-hot
+    broadcast matmul and block-diagonal attention must hold for any clip
+    grouping, not just the flagship (16, 8, 8, 12) shape."""
+    from gava_clip_tpu.ops.attention import multi_head_attention
+    from gava_clip_tpu.ops.linear import linear
+    from gava_clip_tpu.ops.norm import layer_norm
+    rs = np.random.RandomState(9)
+    for Bb, Tb, G, H, D in [(1, 2, 1, 1, 16), (2, 4, 3, 2, 32),
+                            (5, 2, 2, 4, 32), (3, 8, 8, 2, 64)]:
+        BT = Bb * Tb
+
+        def lin_p(din, dout):
+            return {"kernel": jnp.asarray(
+                rs.randn(din, dout).astype(np.float32) * 0.1),
+                "bias": jnp.asarray(rs.randn(dout).astype(np.float32) * 0.01)}
+
+        p = {"cls_proj": lin_p(D, D),
+             "summary_ln": {"scale": jnp.asarray(
+                 np.abs(rs.randn(D)).astype(np.float32) + 0.5),
+                 "bias": jnp.asarray(rs.randn(D).astype(np.float32) * 0.1)},
+             "summary_attn": {n: lin_p(D, D)
+                              for n in ("q", "k", "v", "out")},
+             "local_prompts": jnp.asarray(
+                 rs.randn(Tb, D).astype(np.float32) * 0.1)}
+        g = jnp.asarray(rs.randn(G, D).astype(np.float32) * 0.1)
+        cls = jnp.asarray(rs.randn(BT, D).astype(np.float32) * 0.2)
+        le = G + 1 + Tb
+        le_pad = le + (-le % 8)
+
+        e, summary = fused_extras(cls, p, g, Tb=Tb, num_heads=H,
+                                  le_pad=le_pad)
+
+        cls3 = cls.reshape(Bb, Tb, D)
+        cp = linear(p["cls_proj"], cls3)
+        sn = layer_norm(cp, p["summary_ln"]["scale"], p["summary_ln"]["bias"])
+        want_sum = cp + multi_head_attention(p["summary_attn"], sn, sn, sn,
+                                             H, impl="xla")
+        lp = p["local_prompts"] + cp
+        want_e = jnp.concatenate([
+            jnp.broadcast_to(g[None], (BT, G, D)),
+            want_sum.reshape(BT, 1, D),
+            jnp.broadcast_to(lp[:, None], (Bb, Tb, Tb, D)).reshape(BT, Tb, D),
+            jnp.zeros((BT, le_pad - le, D), jnp.float32)], axis=1)
+        np.testing.assert_allclose(np.asarray(summary), np.asarray(want_sum),
+                                   atol=3e-5, rtol=3e-5,
+                                   err_msg=f"{(Bb, Tb, G, H, D)}")
+        np.testing.assert_allclose(np.asarray(e), np.asarray(want_e),
+                                   atol=3e-5, rtol=3e-5,
+                                   err_msg=f"{(Bb, Tb, G, H, D)}")

@@ -265,3 +265,36 @@ def test_save_attn_qkv_on_mesh(tmp_path):
     batch = shard_batch(_batch(B=4, Bm=4), mesh)
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_save_attn_policy_structural_recompute_bwd_mode(tmp_path):
+    """Same structural pin with GAVA_FLASH_BWD=recompute: the custom-VJP
+    residuals become (q, k, v), but 'attn_out' is still checkpoint-named,
+    so save_attn_qkv must still eliminate exactly the flash-forward re-run
+    (the out-projection dw consumes attn_out without re-running the
+    kernel). Gradients themselves are pinned equal by
+    test_flash_bwd_recompute_matches_saved_residual."""
+    import re
+    from gava_clip_tpu.ops.flash_attention import set_flash_bwd_mode
+    from gava_clip_tpu.train.step import make_loss_fn
+
+    model = _tiny_model(tmp_path)
+    mask = trainable_mask(model.params, model.cfg)
+    state = create_train_state(model.params, mask,
+                               make_optimizer(1e-3, 10, 0.0))
+    loss_cfg = LossConfig(num_classes=3, use_support_memory=True,
+                          add_nte=True)
+    batch = _batch()
+
+    def n_pallas(mode):
+        lf = make_loss_fn(model, loss_cfg, remat=mode, attn_impl="flash")
+        jaxpr = jax.make_jaxpr(jax.grad(lf, has_aux=True))(
+            state.trainable, state.frozen, batch)
+        return len(re.findall(r"pallas_call\[", str(jaxpr)))
+
+    set_flash_bwd_mode("recompute")
+    try:
+        full, saved = n_pallas("full"), n_pallas("save_attn_qkv")
+    finally:
+        set_flash_bwd_mode("saved")
+    assert saved == full - 1, (full, saved)
