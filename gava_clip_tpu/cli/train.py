@@ -231,8 +231,35 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
                                          mean, std)) if use_aug else None
     aug_key = jax.random.PRNGKey(0)
 
+    # preemption-safe checkpointing: preemptible TPU VMs get SIGTERM with a
+    # grace window — catch it, finish the in-flight step, write a resumable
+    # checkpoint (the resume-exact sampler continues bit-identically), and
+    # exit cleanly. The flag-and-check form keeps the signal handler trivial
+    # (async-signal-safe) and the save on the main thread.
+    import signal
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:          # non-main thread (tests drive this inline)
+        prev_handler = None
+
     for i, (batch, mem_batch) in enumerate(zip(train_loader, memory_loader),
                                            start=resume_step):
+        if preempted["flag"]:
+            _log(f"[preempt] SIGTERM received — checkpointing at step {i} "
+                 "and exiting")
+            tf = np.asarray(text_features_fn(state.params)) \
+                if args.use_text_prompt_learning else None
+            ckpt_lib.save_checkpoint(args.checkpoint_dir, state, i,
+                                     text_features=tf)
+            ckpt_lib.wait_for_saves()
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+            raise SystemExit(0)
         video_u8 = jnp.asarray(batch["video"])
         if augment is not None:
             video = augment(jax.random.fold_in(aug_key, i), video_u8)

@@ -57,6 +57,9 @@ timeout 1200 python tools/loadtest_server.py --full --quantize w8a8 \
 
 echo "== queued bench r04 done =="
 
+echo "== decision summary =="
+python tools/analyze_queued_bench.py "$OUT" 2>&1 | tee "$OUT/DECISIONS.md"
+
 # self-commit the artifacts: the watcher may fire while the builder session
 # is idle, and a recorded healthy window must not depend on anyone noticing
 cd /root/repo
