@@ -319,11 +319,14 @@ def main():
     cps_pm, prob_delta_pm, pm_ok = gated_mode(
         params_w8a8, c=chain_pm, vid=video_pm, input_format="patches")
 
-    # candidate kernels (TPU only — the flags gate on kernels_active paths)
+    # candidate kernels (TPU only — the flags gate on kernels_active paths).
+    # GAVA_BENCH_NO_CANDIDATES=1 skips their two extra compile chains if a
+    # driver-side wall-clock budget ever demands the short form.
     cps_fx = cps_fxqk = 0.0
     d_fx = d_fxqk = None
     fx_ok = fxqk_ok = False
-    if jax.default_backend() == "tpu":
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("GAVA_BENCH_NO_CANDIDATES")):
         cps_fx, d_fx, fx_ok = gated_mode(
             params_w8a8, c=chain_fx, vid=video_pm, input_format="patches",
             flags={"fused_extras": True},
