@@ -2,13 +2,17 @@
 """Headline benchmark: clips/sec/chip, ViT-B/16, 8-frame (BASELINE.json).
 
 Runs the zero-shot inference path (vision tower + cosine logits — the
-reference eval_scripts/k400_eval.sh workload shape) on the available chip in
-two modes:
+reference eval_scripts/k400_eval.sh workload shape) on the available chip
+across the serving modes:
   * bf16 — the parity configuration;
   * w8a8 — int8 MXU serving mode (fused Pallas kernels: LayerNorm + dynamic
-    per-token activation quant + int8 GEMMs + QuickGELU + residual in VMEM),
-    gated by an on-device accuracy check (max softmax-prob delta vs bf16
-    must be <= 0.05, the repo-wide quantization tolerance).
+    per-token activation quant + int8 GEMMs + QuickGELU + residual in VMEM);
+  * w8a8 + patch-major — clips ship as patch rows, the embed is one int8
+    GEMM;
+  * (+candidates, TPU only) fused-extras kernel and int8 QK^T score dots —
+    each in its own jit closure with the trace-time flag held.
+Every non-bf16 mode is gated by an on-device accuracy check (max
+softmax-prob delta vs bf16 <= 0.05, the repo-wide quantization tolerance).
 The headline number is the fastest mode that passes its gate. A B=1 p50
 latency probe runs in bf16.
 
@@ -141,7 +145,7 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
     }
     if spread > 1.0:
         extra["warning"] = ("high step variance — tunnel may be degraded "
-                            "(CLAUDE.md); healthy-state ~305 ms")
+                            "(CLAUDE.md); healthy-state ~263 ms")
     print(json.dumps({
         "metric": TRAIN_METRIC,
         "value": round(med_ms, 1),
@@ -419,10 +423,11 @@ def main():
         # the tunneled TPU in this environment has intermittent multi-hour
         # windows where sustained execution runs ~100x slow while small
         # programs stay fast (see CLAUDE.md); flag so the number isn't read
-        # as a code regression. Healthy-state measurement: 431 clips/s.
+        # as a code regression. Healthy-state measurement (2026-08-17
+        # builder session): 768.8 clips/s w8a8+patch-major, 495.5 bf16.
         extra["warning"] = ("device degraded during measurement (known "
-                            "tunnel issue); healthy-state: ~510 clips/s w8a8, "
-                            "~400 bf16")
+                            "tunnel issue); healthy-state: ~769 clips/s "
+                            "w8a8+patch-major, ~495 bf16")
     print(json.dumps({
         "metric": INFER_METRIC,
         "value": round(clips_per_sec, 2),
