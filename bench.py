@@ -223,10 +223,13 @@ def main():
             if np.issubdtype(np.asarray(x).dtype, np.floating) else x, tree)
 
     # ship weights as bf16 (halves tunnel bytes) and commit to device ONCE
-    # (uncommitted numpy args re-transfer every call)
+    # (uncommitted numpy args re-transfer every call). Cast BEFORE
+    # quantizing: the int8 scales must stay fp32 (casting a quantized tree
+    # would downcast them — ~0.2%/channel multiplicative weight error on
+    # top of the int8 error the gate measures)
     params_bf16 = jax.device_put(cast_bf16(base_params), jax.devices()[0])
     params_w8a8 = jax.device_put(
-        cast_bf16(quantize_tower_params(base_params, act_quant=True)),
+        quantize_tower_params(cast_bf16(base_params), act_quant=True),
         jax.devices()[0])
 
     def forward_fn(params, video, input_format="frames"):

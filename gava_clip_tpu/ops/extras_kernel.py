@@ -34,7 +34,6 @@ import jax
 import jax.numpy as jnp
 
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 FUSED_EXTRAS = os.environ.get("GAVA_FUSED_EXTRAS", "0") == "1"
 

@@ -644,6 +644,20 @@ def _reference_attention(q, k, v, num_heads, causal: bool = False):
     return out.reshape(B, Lq, D)
 
 
+def _int8_outproj_epilogue(a, w_ref, s_ref, b_ref, r_ref, o_ref):
+    """Shared serving epilogue of the fused attention kernels: per-row int8
+    quant of the attention output (in VMEM), int8 out-projection, rescale,
+    bias, residual add, store. One definition — a fix here reaches both the
+    single-source and the stitched two-source kernels."""
+    xs = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-6) \
+        * (1.0 / 127.0)
+    aq = jnp.round(a * (1.0 / xs)).astype(jnp.int8)
+    acc = jnp.dot(aq, w_ref[...], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * xs * s_ref[...].astype(jnp.float32) \
+        + b_ref[...].astype(jnp.float32) + r_ref[0].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
 def _attention_out_kernel(q_ref, k_ref, v_ref, w_ref, s_ref, b_ref, r_ref,
                           o_ref, attn_ref, *, scale: float, lk_valid: int,
                           k_segments, num_heads: int, head_dim: int,
@@ -683,14 +697,7 @@ def _attention_out_kernel(q_ref, k_ref, v_ref, w_ref, s_ref, b_ref, r_ref,
 
     _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
                                head_dim, store, int8_qk=int8_qk)
-    a = attn_ref[...]
-    xs = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-6) \
-        * (1.0 / 127.0)
-    aq = jnp.round(a * (1.0 / xs)).astype(jnp.int8)
-    acc = jnp.dot(aq, w_ref[...], preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * xs * s_ref[...].astype(jnp.float32) \
-        + b_ref[...].astype(jnp.float32) + r_ref[0].astype(jnp.float32)
-    o_ref[0] = y.astype(o_ref.dtype)
+    _int8_outproj_epilogue(attn_ref[...], w_ref, s_ref, b_ref, r_ref, o_ref)
 
 
 def flash_attention_out_int8(q, k, v, num_heads, out_params, residual,
@@ -797,14 +804,7 @@ def _attention_out_kernel_2src(q_ref, k1_ref, v1_ref, k2_ref, v2_ref,
 
     _onepass_softmax_av_masked(q, k, v, colmask, scale, num_heads,
                                head_dim, store, int8_qk=int8_qk)
-    a = attn_ref[...]
-    xs = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True), 1e-6) \
-        * (1.0 / 127.0)
-    aq = jnp.round(a * (1.0 / xs)).astype(jnp.int8)
-    acc = jnp.dot(aq, w_ref[...], preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * xs * s_ref[...].astype(jnp.float32) \
-        + b_ref[...].astype(jnp.float32) + r_ref[0].astype(jnp.float32)
-    o_ref[0] = y.astype(o_ref.dtype)
+    _int8_outproj_epilogue(attn_ref[...], w_ref, s_ref, b_ref, r_ref, o_ref)
 
 
 def flash_attention_out_int8_2src(q, k1, v1, k2, v2, num_heads, out_params,

@@ -53,8 +53,13 @@ def kernels_active() -> bool:
 
 def _kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
     x = x_ref[...]
-    w = w_ref[...].astype(jnp.float32) * s_ref[...].astype(jnp.float32)
-    acc = jnp.dot(x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+    # dequantize to the ACTIVATION dtype and dot at its MXU rate (bf16 in
+    # serving) with an fp32 accumulator — an fp32xfp32 dot here would run
+    # the latency path at the fp32 MXU rate and diverge from the
+    # quantized_linear XLA fallback, which dequantizes in x.dtype
+    w = (w_ref[...].astype(jnp.float32)
+         * s_ref[...].astype(jnp.float32)).astype(x.dtype)
+    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
     o_ref[...] = acc.astype(out_dtype)
 
 
@@ -366,13 +371,10 @@ def _quick_gelu(x32):
     return x32 * jax.nn.sigmoid(1.702 * x32)
 
 
-def _w8a8_kernel(x_ref, w_ref, s_ref, *rest, out_dtype, has_ln, has_bias):
+def _w8a8_kernel(x_ref, w_ref, s_ref, *rest, out_dtype, has_bias):
     rest = list(rest)
     o_ref = rest.pop()
     x = x_ref[...].astype(jnp.float32)
-    if has_ln:
-        ln_s, ln_b = rest.pop(0)[...], rest.pop(0)[...]
-        x = _ln_f32(x, ln_s.astype(jnp.float32), ln_b.astype(jnp.float32))
     xq, xs = _quant_rows(x)
     acc = jnp.dot(xq, w_ref[...], preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * xs * s_ref[...].astype(jnp.float32)
@@ -382,14 +384,14 @@ def _w8a8_kernel(x_ref, w_ref, s_ref, *rest, out_dtype, has_ln, has_bias):
 
 
 def w8a8_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array,
-                bias=None, ln=None, block_m: int = 512) -> jax.Array:
-    """Fused act-quant int8 GEMM: [LayerNorm ->] per-row int8 quant (VMEM) ->
+                bias=None, block_m: int = 512) -> jax.Array:
+    """Fused act-quant int8 GEMM: per-row int8 quant (VMEM) ->
     int8 MXU dot -> rescale [-> + bias].
 
-    x (M, K) bf16/fp32; w_q (K, N) int8; scale (1, N) fp32; bias (N,);
-    ln = (scale (K,), bias (K,)) LayerNorm params fused before quantization.
+    x (M, K) bf16/fp32; w_q (K, N) int8; scale (1, N) fp32; bias (N,).
     One HBM read of x and one write of the (M, N) output — same traffic as a
-    plain bf16 GEMM with the MXU at its int8 rate.
+    plain bf16 GEMM with the MXU at its int8 rate. (Callers needing a fused
+    pre-LN use w8a8_matmul3 / w8a8_mlp — an ln param here was dead code.)
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -407,10 +409,6 @@ def w8a8_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array,
                 pl.BlockSpec((K, bn), lambda i, j: (0, j)),
                 pl.BlockSpec((1, bn), lambda i, j: (0, j))]
     args = [x, w_q, scale]
-    if ln is not None:
-        for p in ln:
-            in_specs.append(pl.BlockSpec((1, K), lambda i, j: (0, 0)))
-            args.append(p.reshape(1, K))
     if bias is not None:
         b = bias.reshape(1, N)
         if Np != N:
@@ -420,7 +418,7 @@ def w8a8_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_w8a8_kernel, out_dtype=x.dtype,
-                          has_ln=ln is not None, has_bias=bias is not None),
+                          has_bias=bias is not None),
         grid=(_cdiv(M, bm), Np // bn),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),

@@ -60,10 +60,13 @@ def quantize_tower_params(params: Dict, act_quant: bool = False) -> Dict:
     def visit(path, leaf):
         keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
         name = "/".join(keys)
-        arr = np.asarray(leaf)
-        if name.endswith("kernel") and arr.ndim >= 2 and \
+        # filter by NAME and ndim before touching values: np.asarray on a
+        # device-committed leaf is a full host transfer through the
+        # serialized relay, and most leaves are never quantized (the same
+        # trap ADVICE r2 fixed in prepare_inference_params)
+        if name.endswith("kernel") and getattr(leaf, "ndim", 0) >= 2 and \
                 any(f"/{k}/" in name for k in fragments):
-            q, scale = quantize_weight(arr)
+            q, scale = quantize_weight(np.asarray(leaf))
             return {key: q, "scale": scale}
         return leaf
 
@@ -128,34 +131,67 @@ def prepare_inference_params(params: Dict, quantize: str = "",
         # device-committed leaves on host (a full transfer through the
         # serialized relay just to read a dtype). jnp.issubdtype knows
         # ml_dtypes bfloat16, which is not a subtype of np.floating.
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(compute_dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            params)
+        # Quantization SCALES stay fp32: every kernel's contract is
+        # {'q'/'qa'/'qt': int8, 'scale': fp32} — a bf16 scale adds up to
+        # ~0.2% per-channel multiplicative weight error, the same order as
+        # the int8 quantization error the accuracy gate measured without it.
+        def is_quant(x):
+            # exactly {'q'|'qa'|'qt', 'scale'} — a looser match would
+            # swallow plain LayerNorm {'scale': ...} subtrees
+            return _quant_values(x) is not None
+
+        def cast(x):
+            if is_quant(x):
+                return x
+            return (x.astype(compute_dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x)
+
+        params = jax.tree_util.tree_map(cast, params, is_leaf=is_quant)
     return params
+
+
+def _quant_values(x: Dict):
+    """The int8 payload of a quantized leaf dict, or None. Recognizes all
+    three quantized-leaf forms: 'q' (w8), 'qa' (w8a8), 'qt' (frozen-train)."""
+    if isinstance(x, dict) and "scale" in x and len(x) == 2:
+        for k in ("q", "qa", "qt"):
+            if k in x:
+                return x[k]
+    return None
 
 
 def dequantize_tree(params: Dict, dtype=None) -> Dict:
     """Materialize bf16 kernels from a quantized pytree (inside jit, so the
-    dequant fuses into consumers)."""
+    dequant fuses into consumers). Handles 'q'/'qa'/'qt' leaves; the
+    patch-embed int8 SIDECAR ('kernel_q8', which sits NEXT TO the real bf16
+    kernel) is dropped rather than materialized — dequantizing it would
+    leave a stale pseudo-kernel shadowing the real one."""
     import jax
 
     def is_quant(x):
-        return isinstance(x, dict) and set(x.keys()) in (
-            {"q", "scale"}, {"qa", "scale"})
+        return _quant_values(x) is not None
 
-    return jax.tree_util.tree_map(
-        lambda x: dequantize_weight(x.get("q", x.get("qa")), x["scale"],
-                                    dtype) if is_quant(x) else x,
+    out = jax.tree_util.tree_map(
+        lambda x: dequantize_weight(_quant_values(x), x["scale"], dtype)
+        if is_quant(x) else x,
         params, is_leaf=is_quant)
+    pe = out.get("visual", {}).get("patch_embed") if isinstance(
+        out.get("visual"), dict) else None
+    if isinstance(pe, dict) and "kernel_q8" in pe:
+        pe = {k: v for k, v in pe.items() if k != "kernel_q8"}
+        out = dict(out)
+        out["visual"] = dict(out["visual"], patch_embed=pe)
+    return out
 
 
 def quantization_error(params: Dict, quantized: Dict) -> float:
-    """Max relative Frobenius error across quantized kernels (diagnostic)."""
+    """Max relative Frobenius error across quantized kernels (diagnostic).
+    Recognizes all quantized-leaf forms ('q'/'qa'/'qt') — a form mismatch
+    must never read as 0.0 'perfect quantization'."""
     import jax
 
     def is_quant(x):
-        return isinstance(x, dict) and set(x.keys()) == {"q", "scale"}
+        return _quant_values(x) is not None
 
     flat_p = {tuple(str(getattr(p, "key", p)) for p in path): np.asarray(leaf)
               for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]}
@@ -164,7 +200,13 @@ def quantization_error(params: Dict, quantized: Dict) -> float:
             quantized, is_leaf=is_quant)[0]:
         if is_quant(leaf):
             key = tuple(str(getattr(p, "key", p)) for p in path)
+            if key not in flat_p:     # the patch-embed sidecar has no
+                continue              # counterpart leaf in the fp tree
             orig = flat_p[key]
-            deq = np.asarray(leaf["q"], np.float32) * leaf["scale"]
+            deq = np.asarray(_quant_values(leaf), np.float32) \
+                * np.asarray(leaf["scale"], np.float32)
             errs.append(np.linalg.norm(deq - orig) / np.linalg.norm(orig))
-    return float(max(errs)) if errs else 0.0
+    if not errs:
+        raise ValueError("quantization_error: no quantized leaves found — "
+                         "refusing to report 0.0 for a non-quantized tree")
+    return float(max(errs))

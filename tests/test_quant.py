@@ -234,3 +234,72 @@ def test_inject_clip_pathologies_shapes_and_outliers():
         model.params["visual"]["blocks"]["mlp"]["fc1"]["kernel"])).max()
     k1 = np.abs(np.asarray(path["visual"]["blocks"]["mlp"]["fc1"]["kernel"])).max()
     assert k1 > 4.0 * k0                                # heavy rows exist
+
+
+def test_quantization_error_recognizes_all_leaf_forms(tmp_path):
+    """'qa' (w8a8) and 'qt' (frozen-train) trees must report a real error,
+    never a silent 0.0; a non-quantized tree raises instead of lying."""
+    import numpy as np
+    import pytest
+    from gava_clip_tpu.ops.quant import (quantization_error,
+                                         quantize_frozen_for_train,
+                                         quantize_tower_params)
+    rs = np.random.RandomState(3)
+    params = {"blocks": {
+        "attn": {"q": {"kernel": rs.randn(32, 32).astype(np.float32)}},
+        "mlp": {"fc1": {"kernel": rs.randn(32, 64).astype(np.float32)}}}}
+    for qp in (quantize_tower_params(params, act_quant=True),
+               quantize_frozen_for_train(params)):
+        err = quantization_error(params, qp)
+        assert 0 < err < 0.05, err
+    with pytest.raises(ValueError, match="no quantized leaves"):
+        quantization_error(params, params)
+
+
+def test_prepare_inference_params_keeps_scales_fp32():
+    """bf16 serving cast must NOT downcast the int8 quantization scales:
+    the kernel contract is {'qa': int8, 'scale': fp32}, and a bf16 scale
+    adds ~0.2%/channel multiplicative weight error on top of what the
+    accuracy gate measured."""
+    import jax.numpy as jnp
+    import numpy as np
+    from gava_clip_tpu.ops.quant import prepare_inference_params
+    rs = np.random.RandomState(4)
+    params = {"blocks": {"attn": {
+        "q": {"kernel": rs.randn(32, 32).astype(np.float32),
+              "bias": rs.randn(32).astype(np.float32)}}},
+        "ln": {"scale": np.ones(32, np.float32)}}
+    out = prepare_inference_params(params, "w8a8", jnp.bfloat16)
+    q = out["blocks"]["attn"]["q"]
+    assert q["kernel"]["qa"].dtype == jnp.int8
+    assert q["kernel"]["scale"].dtype == jnp.float32
+    assert q["bias"].dtype == jnp.bfloat16
+    assert out["ln"]["scale"].dtype == jnp.bfloat16
+
+
+def test_dequantize_tree_handles_qt_and_sidecar():
+    import numpy as np
+    import jax.numpy as jnp
+    from gava_clip_tpu.ops.quant import (dequantize_tree,
+                                         quantize_frozen_for_train,
+                                         quantize_tower_params)
+    rs = np.random.RandomState(5)
+    params = {"visual": {"patch_embed": {"kernel": rs.randn(48, 32)
+                                         .astype(np.float32)},
+                         "blocks": {"attn": {"q": {
+                             "kernel": rs.randn(32, 32)
+                             .astype(np.float32)}}}}}
+    # frozen-train 'qt' leaves materialize
+    qt = quantize_frozen_for_train(params)
+    deq = dequantize_tree(qt, jnp.float32)
+    k = deq["visual"]["blocks"]["attn"]["q"]["kernel"]
+    assert not isinstance(k, dict)
+    np.testing.assert_allclose(
+        np.asarray(k), params["visual"]["blocks"]["attn"]["q"]["kernel"],
+        atol=0.02)
+    # the patch-embed sidecar is dropped, the real kernel survives
+    qa = quantize_tower_params(params, act_quant=True)
+    assert "kernel_q8" in qa["visual"]["patch_embed"]
+    deq = dequantize_tree(qa, jnp.float32)
+    pe = deq["visual"]["patch_embed"]
+    assert "kernel_q8" not in pe and not isinstance(pe["kernel"], dict)
