@@ -27,6 +27,15 @@ def init_linear(rng, in_dim: int, out_dim: int, bias: bool = True,
     if bias:
         if bias_std > 0:
             p["bias"] = bias_std * jax.random.normal(b_rng, (out_dim,))
+        elif not xavier:
+            # torch nn.Linear/Conv default: bias ~ U(-1/sqrt(fan_in), +...)
+            # — the reference's from-scratch heads (tf_project,
+            # memory_project, sum_proj, cls_proj: VitaCLIP_model.py:166-190)
+            # start with non-zero uniform biases, so zero-init here was a
+            # silent init-distribution deviation
+            limit = 1.0 / math.sqrt(in_dim)
+            p["bias"] = jax.random.uniform(b_rng, (out_dim,), jnp.float32,
+                                           -limit, limit)
         else:
             p["bias"] = jnp.zeros((out_dim,))
     return p

@@ -84,8 +84,9 @@ def project_prefix(params: Dict, clip_features: jax.Array) -> jax.Array:
 
 def decap_transformer(params: Dict, embeds: jax.Array, cfg: DecapConfig) -> jax.Array:
     """Causal transformer over input embeddings (B, L, D) -> hidden states."""
+    from .text import causal_mask
     L = embeds.shape[1]
-    mask = jnp.triu(jnp.full((L, L), -jnp.inf), k=1)
+    mask = causal_mask(L)
     x = embeds + params["wpe"][:L].astype(embeds.dtype)
 
     def block_fn(h, p):
@@ -129,8 +130,12 @@ def decap_loss(params: Dict, clip_features: jax.Array, tokens: jax.Array,
 
     tok_loss = smoothed_ce(flat_logits, flat_tokens)
     valid = (flat_tokens != 0).astype(jnp.float32)
-    # reference CrossEntropyLoss(ignore_index=0) then .mean() over valid only
-    loss_token = (tok_loss * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+    # reference: CrossEntropyLoss(ignore_index=0, reduction='none') zeroes
+    # the ignored entries and the subsequent .mean() divides by ALL
+    # positions, not the valid count (decoder_train.py:214,275-278) — so
+    # the denominator is numel. Dividing by valid.sum() inflated the token
+    # term ~(total/valid)x relative to loss_number.
+    loss_token = (tok_loss * valid).sum() / flat_tokens.shape[0]
 
     is_num = (flat_tokens >= cfg.base_vocab).astype(jnp.float32)
     num_logits = flat_logits[:, cfg.base_vocab:]
@@ -154,8 +159,12 @@ def make_greedy_step(params: Dict, cfg: DecapConfig = DecapConfig(),
     @jax.jit
     def step(embed_buf, pos):
         h = decap_transformer(params, embed_buf, cfg)
-        logits = (h @ params["wte"].T)[0, pos]
-        return jnp.argmax(logits, axis=-1)
+        # index the one live row BEFORE the vocab projection: a single
+        # (D,) @ (D, V) row-product instead of the full (max_len+1, V)
+        # GEMM whose other rows are discarded (~max_len x less work per
+        # decode step)
+        row = jax.lax.dynamic_index_in_dim(h[0], pos, 0, keepdims=False)
+        return jnp.argmax(row @ params["wte"].T, axis=-1)
 
     return step
 

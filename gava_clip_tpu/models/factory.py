@@ -65,11 +65,16 @@ def build_model_from_args(args, num_classes: int,
     cfg = model_config_from_args(args, num_classes)
 
     backbone_state = None
-    if getattr(args, "backbone_path", "") :
+    if getattr(args, "backbone_path", ""):
         import os.path as osp
-        if osp.isfile(args.backbone_path):
-            from ..utils.torch_convert import load_torch_state_dict
-            backbone_state = load_torch_state_dict(args.backbone_path)
+        if not osp.isfile(args.backbone_path):
+            # silently training a RANDOM backbone because of a typo'd path
+            # produces garbage metrics with no signal; the reference's
+            # torch.load raises here too
+            raise FileNotFoundError(
+                f"--backbone_path {args.backbone_path!r} does not exist")
+        from ..utils.torch_convert import load_torch_state_dict
+        backbone_state = load_torch_state_dict(args.backbone_path)
 
     if cfg.zeroshot_evaluation and zeroshot_text_features is None:
         path = getattr(args, "zeroshot_text_features_path", "")

@@ -166,11 +166,16 @@ def build_prompt_assets(classnames: Sequence[str], cfg: PromptConfig,
     tokenized = np.zeros((n_cls, max_kv, L), np.int32)
     kv_mask = np.zeros((n_cls, max_kv), np.float32)
     for c in range(n_cls):
-        toks = tokenize(prompts[c])
+        # tokenize at the CONFIGURED context length — the tokenizer default
+        # is 77 and a non-77 cfg.context_length would make the assignment
+        # below shape-mismatch (or silently mis-slice the suffix)
+        toks = tokenize(prompts[c], context_length=L)
         tokenized[c, :len(prompts[c])] = toks
         kv_mask[c, :len(prompts[c])] = 1.0
-        eot_cols = np.argmax(toks == EOT_TOKEN, axis=-1)
-        assert eot_cols.max() <= L, "tokenized prompt too long"
+        # every prompt must actually carry its EOT (argmax on an all-False
+        # row would silently pool at column 0)
+        assert (toks == EOT_TOKEN).any(axis=-1).all(), \
+            f"class {c}: tokenized prompt lost its EOT (too long?)"
 
     pool_idx = np.argmax(tokenized == EOT_TOKEN, axis=-1).astype(np.int32)
 

@@ -47,7 +47,9 @@ class VitaClipConfig:
 
 
 def _l2norm(x, axis=-1, eps=0.0):
-    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+    # eps > 0 guards an all-zero row (0/0 = NaN); the default 0.0 matches
+    # the reference's unguarded x / x.norm()
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
 def init_head_params(rng, cfg: VitaClipConfig) -> Dict:
@@ -69,13 +71,15 @@ def init_head_params(rng, cfg: VitaClipConfig) -> Dict:
         params["tf_project"] = {"fc1": init_linear(rngs[1], E, E // 4, xavier=False),
                                 "fc2": init_linear(rngs[2], E // 4, E // 8, xavier=False)}
         n = cfg.num_classes
-        k1 = jnp.stack([init_linear(r, E, E // 4, xavier=False)["kernel"]
-                        for r in jax.random.split(rngs[3], n)])
-        k2 = jnp.stack([init_linear(r, E // 4, E // 8, xavier=False)["kernel"]
-                        for r in jax.random.split(rngs[4], n)])
+        mp1 = [init_linear(r, E, E // 4, xavier=False)
+               for r in jax.random.split(rngs[3], n)]
+        mp2 = [init_linear(r, E // 4, E // 8, xavier=False)
+               for r in jax.random.split(rngs[4], n)]
         params["memory_project"] = {
-            "w1": k1, "b1": jnp.zeros((n, E // 4)),
-            "w2": k2, "b2": jnp.zeros((n, E // 8)),
+            "w1": jnp.stack([p["kernel"] for p in mp1]),
+            "b1": jnp.stack([p["bias"] for p in mp1]),
+            "w2": jnp.stack([p["kernel"] for p in mp2]),
+            "b2": jnp.stack([p["bias"] for p in mp2]),
         }
         params["logit_scale_mt"] = jnp.asarray(
             np.log(10.0) if cfg.use_sigmoid_loss else 100.0, jnp.float32)
@@ -97,6 +101,13 @@ class VitaClip:
                  backbone_state: Optional[Dict[str, np.ndarray]] = None,
                  zeroshot_text_features: Optional[np.ndarray] = None,
                  rng: Optional[jax.Array] = None):
+        if cfg.add_nte and not cfg.vision.use_summary_token:
+            # the NTE branch consumes the vision tower's summary tokens
+            # (reference VitaCLIP_model.py:330-348 reads the summary path);
+            # without this check the failure is an opaque NoneType error
+            # deep inside a jit trace
+            raise ValueError("add_nte=True requires "
+                             "vision.use_summary_token=True")
         self.cfg = cfg
         # initialize on host CPU: parameter init is thousands of tiny ops —
         # running them eagerly over a TPU tunnel is minutes of RPC latency;
@@ -158,17 +169,28 @@ class VitaClip:
         (the masked-mean of per-kv pooled features, VitaCLIP_model.py:278-293)."""
         cfg = self.cfg
         assert cfg.use_text_prompt_learning
+        tf, kv_mask, kv_count = self._per_kv_text_features(
+            params, buffers, compute_dtype=compute_dtype)
+        return _l2norm((tf * kv_mask[..., None]).sum(1) / kv_count)
+
+    def _per_kv_text_features(self, params, buffers, compute_dtype,
+                              attn_impl: str = "xla"):
+        """Shared text-branch core (apply + text_features_only must never
+        diverge — the kv-masked mean and the EOT-pooling quirk are
+        parity-sensitive): assemble prompts, batch-encode, l2-normalize.
+        Returns (tf (n_cls, max_kv, E), kv_mask, kv_count)."""
+        cfg = self.cfg
         prompt_embeds = assemble_prompts(params["prompt"], buffers, cfg.prompt)
         n_cls, max_kv, L, W = prompt_embeds.shape
-        from .text import encode_text_embeds
         tf = encode_text_embeds(params["textual"],
                                 prompt_embeds.reshape(n_cls * max_kv, L, W),
-                                buffers["pool_idx"].reshape(-1), cfg.text,
-                                compute_dtype=compute_dtype)
+                                buffers["pool_idx"].reshape(n_cls * max_kv),
+                                cfg.text, compute_dtype=compute_dtype,
+                                attn_impl=attn_impl)
         tf = _l2norm(tf.astype(jnp.float32)).reshape(n_cls, max_kv, -1)
         kv_mask = buffers["kv_mask"]
         kv_count = jnp.maximum(kv_mask.sum(-1, keepdims=True), 1.0)
-        return _l2norm((tf * kv_mask[..., None]).sum(1) / kv_count)
+        return tf, kv_mask, kv_count
 
     # ----- pure forward ---------------------------------------------------
 
@@ -205,16 +227,9 @@ class VitaClip:
         logit_scale = jnp.exp(params["logit_scale"])
 
         if cfg.use_text_prompt_learning:
-            prompt_embeds = assemble_prompts(params["prompt"], buffers, cfg.prompt)
-            n_cls, max_kv, L, W = prompt_embeds.shape
-            flat = prompt_embeds.reshape(n_cls * max_kv, L, W)
-            pool = buffers["pool_idx"].reshape(n_cls * max_kv)
-            tf = encode_text_embeds(params["textual"], flat, pool, cfg.text,
-                                    compute_dtype=compute_dtype, attn_impl=attn_impl)
-            tf = _l2norm(tf.astype(jnp.float32)).reshape(n_cls, max_kv, -1)
-
-            kv_mask = buffers["kv_mask"]                        # (n_cls, max_kv)
-            kv_count = jnp.maximum(kv_mask.sum(-1, keepdims=True), 1.0)
+            tf, kv_mask, kv_count = self._per_kv_text_features(
+                params, buffers, compute_dtype=compute_dtype,
+                attn_impl=attn_impl)
 
             sim = logit_scale * jnp.einsum("be,cke->bck", video_features, tf)
             if desc_wise:

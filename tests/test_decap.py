@@ -61,7 +61,9 @@ def test_decoder_overfits_tiny_data(tiny_decap):
         return optax.apply_updates(params, u), state, loss, m
 
     first = None
-    for i in range(60):
+    # 150 steps: the corrected reference denominator (mean over ALL
+    # positions) scales loss_token by valid/total, slowing this tiny overfit
+    for i in range(150):
         params, state, loss, m = step(params, state)
         if first is None:
             first = float(loss)
@@ -95,3 +97,50 @@ def test_decode_feature_with_scale_dict(tiny_decap, tmp_path):
     feats = np.random.RandomState(2).randn(16).astype(np.float32)
     out = decode_feature(tiny_decap, CFG, feats, scale)
     assert isinstance(out, str)
+
+
+def test_loss_composition_golden_vs_torch():
+    """The loss composition must match the reference exactly at the tensor
+    level (decoder_train.py:214,270-278): CrossEntropyLoss(ignore_index=0,
+    label_smoothing=0.1, reduction='none') -> loss_token.MEAN() divides by
+    ALL positions (ignored entries contribute 0), while loss_number.mean()
+    divides by the number-token count only."""
+    import torch
+    from gava_clip_tpu.models.decap import smoothed_ce
+    from gava_clip_tpu.train.losses import focal_ordinal_weight
+
+    rs = np.random.RandomState(7)
+    V, BASE, NUM = CFG.vocab_size, CFG.base_vocab, CFG.vocab_size - CFG.base_vocab
+    flat_logits = rs.randn(24, V).astype(np.float32)
+    flat_tokens = np.zeros(24, np.int64)
+    flat_tokens[:6] = rs.randint(1, BASE, 6)          # normal tokens
+    flat_tokens[6:9] = rs.randint(BASE, V, 3)          # number tokens
+    # rest padding (0)
+
+    lt = jnp.asarray(flat_logits)
+    tt = jnp.asarray(flat_tokens.astype(np.int32))
+    tok_loss = smoothed_ce(lt, tt)
+    valid = (tt != 0).astype(jnp.float32)
+    loss_token = float((tok_loss * valid).sum() / tt.shape[0])
+    is_num = (tt >= BASE).astype(jnp.float32)
+    ow = focal_ordinal_weight(lt[:, BASE:],
+                              jnp.clip(tt - BASE, 0, NUM - 1),
+                              gamma=2.0, alpha=0.0, beta=0.2)
+    loss_number = float((ow * tok_loss * is_num).sum()
+                        / jnp.maximum(is_num.sum(), 1.0))
+
+    ce = torch.nn.CrossEntropyLoss(ignore_index=0, label_smoothing=0.1,
+                                   reduction="none")
+    tl = torch.from_numpy(flat_logits)
+    tk = torch.from_numpy(flat_tokens)
+    ref_tok = ce(tl, tk)
+    np.testing.assert_allclose(loss_token, float(ref_tok.mean()),
+                               rtol=1e-5)
+    num_ids = np.where(flat_tokens >= BASE)[0]
+    ref_ow = focal_ordinal_weight(
+        jnp.asarray(flat_logits[num_ids, BASE:]),
+        jnp.asarray((flat_tokens[num_ids] - BASE).astype(np.int32)),
+        gamma=2.0, alpha=0.0, beta=0.2)
+    ref_num = float((np.asarray(ref_ow)
+                     * ref_tok[num_ids].numpy()).mean())
+    np.testing.assert_allclose(loss_number, ref_num, rtol=1e-4)
