@@ -70,6 +70,10 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
     _acquire_backend_or_die(
         float(os.environ.get("GAVA_BENCH_INIT_TIMEOUT_S", "900")),
         metric=TRAIN_METRIC, unit="ms")
+    _enable_compilation_cache()
+    partial = {"_metric": TRAIN_METRIC, "_unit": "ms"}
+    _start_deadline_watchdog(partial, float(
+        os.environ.get("GAVA_BENCH_DEADLINE_S", "1200")))
     import jax
     import jax.numpy as jnp
     from gava_clip_tpu.models.vita_clip import trainable_mask
@@ -101,6 +105,7 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
     state, metrics = step(state, batch)
     jax.block_until_ready(metrics["total"])
     compile_s = time.time() - t0
+    partial["compile_s"] = round(compile_s, 1)
     # per-call timing (block every step): includes one serialized-relay
     # round-trip (~30 ms in this environment) per step — the p50 latency a
     # synchronous caller sees
@@ -111,6 +116,14 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
         jax.block_until_ready(metrics["total"])
         times.append(time.time() - t0)
     med_call_ms = float(np.median(times)) * 1e3
+    flops = flagship_train_flops(B=B, T=T)
+    ref_ms = flops / (0.45 * 91e12) * 1e3
+    # provisional headline for the deadline watchdog: per-call median
+    # (includes one relay RTT per step, so slightly pessimistic — labeled
+    # in per_call_note if the partial line ever ships)
+    partial["value"] = round(med_call_ms, 1)
+    partial["vs_baseline"] = round(ref_ms / med_call_ms, 3)
+    partial["per_call_note"] = "partial: per-call p50 incl relay RTT"
     # pipelined timing (dispatch all steps async, block once): amortizes
     # the relay RTT the way the real driver does (cli/train.py only fetches
     # metrics every --print_freq steps), so this is sustained ms/step —
@@ -120,8 +133,6 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
         state, metrics = step(state, batch)
     jax.block_until_ready(metrics["total"])
     med_ms = (time.time() - t0) / steps * 1e3
-    flops = flagship_train_flops(B=B, T=T)
-    ref_ms = flops / (0.45 * 91e12) * 1e3
     spread = (max(times) - min(times)) / np.median(times)
     extra = {
         "batch": B, "frames": T, "remat": remat, "donate": True,
@@ -146,6 +157,7 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
     if spread > 1.0:
         extra["warning"] = ("high step variance — tunnel may be degraded "
                             "(CLAUDE.md); healthy-state ~263 ms")
+    partial["_done"].set()
     print(json.dumps({
         "metric": TRAIN_METRIC,
         "value": round(med_ms, 1),
@@ -157,6 +169,49 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
 
 INFER_METRIC = "clips/sec/chip (ViT-B/16, 8-frame, zero-shot forward)"
 TRAIN_METRIC = "train ms/step (flagship ViT-B/16, B=4, T=70, full loss)"
+
+
+def _enable_compilation_cache():
+    """Persistent compiled-executable cache (GAVA_JAX_CACHE=0 disables) —
+    a queued-bench re-arm after a window that closed mid-run then loads
+    executables from disk instead of paying ~20 s of relay compile per
+    mode. See gava_clip_tpu/utils/jax_cache.py."""
+    from gava_clip_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
+
+
+def _start_deadline_watchdog(partial: dict, deadline_s: float):
+    """Print best-so-far results and exit if the run wedges mid-measurement.
+
+    BENCH_r03 taught that init can be healthy and the window can still
+    close DURING measurement — a hang inside a jitted call is
+    uninterruptible from Python, so without this the driver's `timeout`
+    kills the process with NOTHING on stdout and already-measured modes
+    are lost. `partial` is mutated by the bench as results land; `done`
+    flips when the normal path printed its line."""
+    import threading
+
+    def watch():
+        if partial.setdefault("_done", threading.Event()).wait(deadline_s):
+            return
+        out = {k: v for k, v in partial.items() if not k.startswith("_")}
+        line = {
+            "metric": partial.get("_metric", INFER_METRIC),
+            "value": out.pop("value", None),
+            "unit": partial.get("_unit", "clips/s"),
+            "vs_baseline": out.pop("vs_baseline", None),
+            "extra": out,
+            "error": f"deadline {deadline_s:.0f}s hit mid-run (relay window "
+                     f"closed?); partial results — modes not listed were "
+                     f"never measured",
+        }
+        print(json.dumps(line), flush=True)
+        os._exit(3)
+
+    partial.setdefault("_done", __import__("threading").Event())
+    t = __import__("threading").Thread(target=watch, daemon=True)
+    t.start()
+    return partial["_done"]
 
 
 def _acquire_backend_or_die(timeout_s: float = 900.0,
@@ -196,6 +251,10 @@ def _acquire_backend_or_die(timeout_s: float = 900.0,
 def main():
     _acquire_backend_or_die(
         float(os.environ.get("GAVA_BENCH_INIT_TIMEOUT_S", "900")))
+    _enable_compilation_cache()
+    partial = {"_metric": INFER_METRIC, "_unit": "clips/s"}
+    _start_deadline_watchdog(partial, float(
+        os.environ.get("GAVA_BENCH_DEADLINE_S", "1200")))
     import jax
     import jax.numpy as jnp
     from gava_clip_tpu.ops.quant import quantize_tower_params
@@ -279,7 +338,21 @@ def main():
             best = max(best, B * ITERS / (time.perf_counter() - t0))
         return best
 
+    flops = vit_flops_per_clip(T=T)
+    ref_clips_per_sec = 0.45 * 91e12 / flops
+
+    def record(key, cps, gate_ok):
+        """Feed the deadline watchdog: every measured mode lands in
+        `partial` immediately, and `value` tracks the best gated mode so
+        a mid-run hang still yields a usable headline line."""
+        partial[key] = round(cps, 1)
+        if gate_ok and cps > (partial.get("value") or 0.0):
+            partial["value"] = round(cps, 2)
+            partial["vs_baseline"] = round(cps / ref_clips_per_sec, 3)
+            partial["mode"] = key.replace("clips_per_sec_", "")
+
     cps_bf16 = measure(params_bf16)
+    record("clips_per_sec_bf16", cps_bf16, True)
     p_ref = np.asarray(jax.nn.softmax(fwd(params_bf16, video, 'frames'), -1),
                        np.float32)
 
@@ -323,8 +396,10 @@ def main():
             return 0.0, None, False
 
     cps_w8a8, prob_delta, w8a8_ok = gated_mode(params_w8a8)
+    record("clips_per_sec_w8a8", cps_w8a8, w8a8_ok)
     cps_pm, prob_delta_pm, pm_ok = gated_mode(
         params_w8a8, c=chain_pm, vid=video_pm, input_format="patches")
+    record("clips_per_sec_w8a8_patch_major", cps_pm, pm_ok)
 
     # candidate kernels (TPU only — the flags gate on kernels_active paths).
     # GAVA_BENCH_NO_CANDIDATES=1 skips their two extra compile chains if a
@@ -338,11 +413,13 @@ def main():
             params_w8a8, c=chain_fx, vid=video_pm, input_format="patches",
             flags={"fused_extras": True},
             fwd_fn=jax.jit(forward_fn, static_argnums=(2,)))
+        record("clips_per_sec_fused_extras", cps_fx, fx_ok)
         cps_fxqk, d_fxqk, fxqk_ok = gated_mode(
             params_w8a8, c=chain_fx_qk, vid=video_pm,
             input_format="patches",
             flags={"fused_extras": True, "int8_qk": True},
             fwd_fn=jax.jit(forward_fn, static_argnums=(2,)))
+        record("clips_per_sec_fused_extras_int8_qk", cps_fxqk, fxqk_ok)
 
     clips_per_sec, mode = cps_bf16, "bf16"
     if w8a8_ok and cps_w8a8 > clips_per_sec:
@@ -391,9 +468,7 @@ def main():
     except Exception:
         dev_lat_w8a8_ms = None
 
-    flops = vit_flops_per_clip(T=T)
     achieved_tflops = clips_per_sec * flops / 1e12
-    ref_clips_per_sec = 0.45 * 91e12 / flops
 
     extra = {
         "mode": mode,
@@ -431,6 +506,7 @@ def main():
         extra["warning"] = ("device degraded during measurement (known "
                             "tunnel issue); healthy-state: ~769 clips/s "
                             "w8a8+patch-major, ~495 bf16")
+    partial["_done"].set()
     print(json.dumps({
         "metric": INFER_METRIC,
         "value": round(clips_per_sec, 2),

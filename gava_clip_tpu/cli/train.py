@@ -443,6 +443,10 @@ def eval_only_fold(args, fold: int, classnames: List[str], num_classes: int):
 def main(argv=None):
     parser = build_train_parser()
     args = parser.parse_args(argv)
+    # preemption-resume restarts re-compile the same train/eval steps; the
+    # persistent cache turns those into disk loads (utils/jax_cache.py)
+    from ..utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     classnames, cls_labels = parse_classes_file(args.text_prompt_classes_path)
     num_classes = len(cls_labels)

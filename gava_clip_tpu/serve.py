@@ -40,6 +40,8 @@ class VideoClassifier:
         patchify is a cheap numpy relayout."""
         import jax
         import jax.numpy as jnp
+        from .utils.jax_cache import enable_compilation_cache
+        enable_compilation_cache()  # serving cold-start: reload compiled fwd
         self.model = model
         self.classnames = list(classnames)
         self.batch_size = batch_size
