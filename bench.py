@@ -81,15 +81,17 @@ def main_train(steps: int = 20, frozen_int8: bool = False,
     from gava_clip_tpu.train.step import LossConfig, make_train_step
     from gava_clip_tpu.utils.flagship import build_flagship
 
-    B, T = 4, 70
-    model = build_flagship(num_frames=T)
+    tiny = os.environ.get("GAVA_BENCH_TINY") == "1"
+    B, T = (2, 2) if tiny else (4, 70)
+    SIZE = 32 if tiny else 224
+    model = build_flagship(num_frames=T, input_size=SIZE)
     mask = trainable_mask(model.params, model.cfg)
     opt = make_optimizer(lr=5e-6, num_steps=2000, weight_decay=0.2)
     loss_cfg = LossConfig(num_classes=3, focal_ordinal=True, fo_beta=0.2,
                           use_support_memory=True, add_nte=True)
     rs = np.random.RandomState(0)
     batch = {k: jnp.asarray(v) for k, v in {
-        "video": rs.rand(B, T, 224, 224, 3).astype(np.float32),
+        "video": rs.rand(B, T, SIZE, SIZE, 3).astype(np.float32),
         "labels": rs.randint(0, 3, size=B),
         "nte": rs.randn(B, 70, 512).astype(np.float32),
         "memory": rs.randn(64, 4, 512).astype(np.float32),
@@ -264,9 +266,15 @@ def main():
     # B=8 was optimal pre-aligned-layout; after the round-3 layout fixes
     # the w8a8 path scales further (measured: B=8 672, B=12 688, B=16 704,
     # B=24 711, B=32 709 clips/s in one window) — B=16 is the knee.
-    T, B = 8, 16
-    ITERS = 100  # long chain amortizes the ~30 ms relay round-trip to <0.1 ms/iter
-    model = build_zero_shot(num_frames=T, num_classes=400)
+    # GAVA_BENCH_TINY=1 shrinks every shape so the FULL main() path can run
+    # on the 1-core CPU in tests — the numbers are meaningless but every
+    # line the driver will execute gets executed (a NameError here would
+    # otherwise surface only as a null driver capture).
+    tiny = os.environ.get("GAVA_BENCH_TINY") == "1"
+    T, B = (2, 2) if tiny else (8, 16)
+    SIZE = 32 if tiny else 224
+    ITERS = 2 if tiny else 100  # long chain amortizes the ~30 ms relay RTT
+    model = build_zero_shot(num_frames=T, num_classes=400, input_size=SIZE)
     # the w8a8 accuracy gate is measured on CLIP-pathology weights (LN-gain
     # activation-outlier channels + heavy-tailed weight rows — the documented
     # int8 failure modes), not a friendly N(0, 0.02) init; perf is identical
@@ -318,7 +326,7 @@ def main():
     fwd = jax.jit(forward_fn, static_argnums=(2,))
 
     video = jax.jit(lambda k: jax.random.uniform(
-        k, (B, T, 224, 224, 3), jnp.float32))(jax.random.PRNGKey(0))
+        k, (B, T, SIZE, SIZE, 3), jnp.float32))(jax.random.PRNGKey(0))
     video1 = video[:1]
     # patch-major layout: the relayout runs once per clip OUTSIDE the hot
     # loop — in production the host ships clips patch-major (same bytes,
@@ -407,8 +415,11 @@ def main():
     cps_fx = cps_fxqk = 0.0
     d_fx = d_fxqk = None
     fx_ok = fxqk_ok = False
-    if (jax.default_backend() == "tpu"
+    if ((jax.default_backend() == "tpu" or tiny)
             and not os.environ.get("GAVA_BENCH_NO_CANDIDATES")):
+        # tiny mode runs the candidate closures too (the trace-time flags
+        # are inert off-TPU, so they measure the XLA path — the point is
+        # executing the gated_mode/record plumbing the driver will run)
         cps_fx, d_fx, fx_ok = gated_mode(
             params_w8a8, c=chain_fx, vid=video_pm, input_format="patches",
             flags={"fused_extras": True},
@@ -434,7 +445,7 @@ def main():
     # B=1 latency probe (p50 over per-call timings; includes relay RTT)
     lat = []
     np.asarray(fwd(params_bf16, video1, 'frames'))
-    for _ in range(15):
+    for _ in range(3 if tiny else 15):
         t0 = time.perf_counter()
         np.asarray(fwd(params_bf16, video1, 'frames'))
         lat.append(time.perf_counter() - t0)
@@ -444,7 +455,8 @@ def main():
     # relay round-trip (which dominates the per-call p50 above ~12x here)
     def device_latency(params):
         best = {}
-        for iters in (30, 150):
+        lens = (2, 6) if tiny else (30, 150)
+        for iters in lens:
             @jax.jit
             def chain_n(p, v, iters=iters):
                 def body(i, carry):
@@ -460,7 +472,7 @@ def main():
                 float(chain_n(params, video1))
                 b = min(b, time.perf_counter() - t0)
             best[iters] = b
-        return (best[150] - best[30]) / 120 * 1e3
+        return (best[lens[1]] - best[lens[0]]) / (lens[1] - lens[0]) * 1e3
 
     dev_lat_ms = float(device_latency(params_bf16))
     try:

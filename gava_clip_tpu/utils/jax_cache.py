@@ -29,6 +29,14 @@ def enable_compilation_cache(cache_dir: str = None) -> bool:
         return False
     try:
         import jax
+        # TPU-only: relay compiles are what the cache exists to amortize.
+        # XLA:CPU AOT reloads also log machine-feature-mismatch errors
+        # (+prefer-no-gather pseudo-features) with a SIGILL caveat — not a
+        # risk worth taking for the CPU test suite, which compiles fast.
+        # (default_backend() initializes the backend; every caller needs
+        # the device immediately afterwards anyway.)
+        if jax.default_backend() == "cpu":
+            return False
         jax.config.update("jax_compilation_cache_dir",
                           cache_dir or _DEFAULT_DIR)
         # cache everything that takes longer than a trivial compile; the
