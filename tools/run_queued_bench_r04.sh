@@ -50,6 +50,9 @@ timeout 1200 python tools/profile_train.py 2>&1 | tee "$OUT/profile_train.txt"
 echo "== 6e. block-size autotune at the serving shapes =="
 timeout 1200 python tools/autotune_kernels.py 2>&1 | tee "$OUT/autotune.txt"
 
+echo "== 6f. per-component w8a8 ablation (refreshed ceiling table) =="
+timeout 1200 python tools/ablate_w8a8.py 2>&1 | tee "$OUT/ablate_w8a8.txt"
+
 echo "== 7. HTTP server load test on TPU (flagship w8a8) =="
 timeout 1200 python tools/loadtest_server.py --full --quantize w8a8 \
     --clients 16 --requests 10 --batch_size 16 \
