@@ -24,8 +24,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-B, T = 8, 8
-ITERS_LO, ITERS_HI = 30, 150
+# GAVA_BENCH_TINY=1 shrinks shapes/iters so the FULL tool path is
+# smoke-testable on the 1-core CPU host (same pattern as bench.py) —
+# a queued-suite slot must never be the first time this code runs.
+TINY = os.environ.get("GAVA_BENCH_TINY") == "1"
+if TINY:
+    # smoke mode must never touch the TPU relay (its PJRT init blocks
+    # indefinitely during outage windows — CLAUDE.md); env JAX_PLATFORMS
+    # is ignored by the axon plugin, config.update is the working override
+    jax.config.update("jax_platforms", "cpu")
+B, T = (1, 2) if TINY else (8, 8)
+ITERS_LO, ITERS_HI = (2, 4) if TINY else (30, 150)
+IMG = 96 if TINY else 224
+DEPTHS = (3, 2, 1) if TINY else (12, 6, 2)
 
 
 def chain_time(fn, *args, reps=3):
@@ -59,9 +70,9 @@ def tower_scaling():
     from gava_clip_tpu.models.vita_clip import VitaClip
 
     times = {}
-    for L in (12, 6, 2):
+    for L in DEPTHS:
         cfg = VitaClipConfig(
-            vision=VisionConfig(input_size=(224, 224), num_frames=T,
+            vision=VisionConfig(input_size=(IMG, IMG), num_frames=T,
                                 feature_dim=768, patch_size=(16, 16),
                                 heads=12, layers=L, mlp_factor=4.0,
                                 embed_dim=512, use_summary_token=True,
@@ -79,7 +90,7 @@ def tower_scaling():
             jax.devices()[0])
         buffers = jax.device_put(model.buffers, jax.devices()[0])
         video = jax.jit(lambda k: jax.random.uniform(
-            k, (B, T, 224, 224, 3), jnp.float32))(jax.random.PRNGKey(0))
+            k, (B, T, IMG, IMG, 3), jnp.float32))(jax.random.PRNGKey(0))
 
         def fwd(v, acc, params=params, buffers=buffers, model=model):
             s = model.apply(params, buffers, v, compute_dtype=jnp.bfloat16,
@@ -91,10 +102,11 @@ def tower_scaling():
         times[L] = dt * 1e3
         print(f"layers={L}: {dt*1e3:.3f} ms/fwd  ({B/dt:.1f} clips/s)")
 
-    per_layer = (times[12] - times[2]) / 10
-    fixed = times[12] - 12 * per_layer
+    hi, _, lo = DEPTHS
+    per_layer = (times[hi] - times[lo]) / (hi - lo)
+    fixed = times[hi] - hi * per_layer
     print(f"per-layer: {per_layer:.3f} ms   fixed: {fixed:.3f} ms "
-          f"({fixed/times[12]*100:.1f}% of total)")
+          f"({fixed/times[hi]*100:.1f}% of total)")
     return times
 
 
@@ -104,7 +116,9 @@ def kernel_micro():
     from gava_clip_tpu.ops.flash_attention import flash_attention_out_int8
 
     rs = np.random.RandomState(0)
-    BT, Lx, Lkv, D, H = B * T, 197, 214, 768, 3072
+    BT, Lx, Lkv, D, H = ((B * T, 40, 48, 256, 512) if TINY
+                         else (B * T, 197, 214, 768, 3072))
+    heads = 4 if TINY else 12
     dev = jax.devices()[0]
 
     def mk(*shape, dtype=jnp.bfloat16):
@@ -142,7 +156,7 @@ def kernel_micro():
              "bias": mk(D, dtype=jnp.float32)}
 
     def attn(q, acc):
-        o = flash_attention_out_int8(q, k, v, 12, out_p, res)
+        o = flash_attention_out_int8(q, k, v, heads, out_p, res)
         s = o.astype(jnp.float32).sum()
         return (q + (s * 0).astype(q.dtype), acc + s)
 

@@ -39,8 +39,9 @@ timeout 1200 python tools/bench_train_step.py \
 echo "== 5. serving batch sweep with the denominator-fused kernel =="
 timeout 1200 python tools/bench_pm_sweep.py 2>&1 | tee "$OUT/pm_sweep.txt"
 
-echo "== 6. per-layer bwd kernel self-time (profile_train) =="
-timeout 1200 python tools/profile_train.py 2>&1 | tee "$OUT/profile_train.txt"
+echo "== 6. per-layer bwd kernel self-time at the flagship remat mode =="
+timeout 1200 python tools/profile_train.py --remat save_attn_qkv 2>&1 \
+    | tee "$OUT/profile_train.txt"
 
 # (former steps 6b-6d — env-flagged candidate bench runs — are gone:
 # bench.py measures the int8-QK and fused-extras candidates as its own
