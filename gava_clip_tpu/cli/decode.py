@@ -14,7 +14,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ..models.decap import (DecapConfig, descale_number, greedy_decode)
+from ..models.decap import (DecapConfig, descale_number, greedy_decode,
+                            make_greedy_decoder)
 from ..text import ClipBpeTokenizer
 
 
@@ -30,9 +31,15 @@ def load_decap(path: str):
 
 def decode_feature(params, cfg: DecapConfig, feature: np.ndarray,
                    scale_dict: Optional[Dict] = None,
-                   tokenizer: Optional[ClipBpeTokenizer] = None) -> str:
+                   tokenizer: Optional[ClipBpeTokenizer] = None,
+                   decoder=None) -> str:
+    """`decoder`: a prebuilt make_greedy_decoder(params, cfg) — pass it when
+    decoding many features so the KV-cached while_loop compiles once; the
+    fallback builds one per call (same one-compile cost the old host-loop
+    greedy_decode paid, but one device dispatch per caption instead of one
+    per token)."""
     tokenizer = tokenizer or ClipBpeTokenizer()
-    tokens, numbers = greedy_decode(params, feature, cfg)
+    tokens, numbers = (decoder or make_greedy_decoder(params, cfg))(feature)
 
     # repeated SOT tokens become commas (decode.py:127-130)
     sot = 49406
@@ -132,12 +139,13 @@ def centroid_study(decap_params, cfg, sim_support, raw_support,
     centroid of the projected class memory weights a linear combination of
     the raw memory, which is decoded back to a gait sentence."""
     out = {}
+    decoder = make_greedy_decoder(decap_params, cfg)
     for key, emb_val in sim_support.items():
         centroid = _l2n(emb_val.mean(axis=0))
         lc_weights = emb_val @ centroid                     # (N,)
         text_embedding = _l2n(lc_weights @ raw_support[key])
         out[key] = decode_feature(decap_params, cfg, text_embedding,
-                                  scale, tok)
+                                  scale, tok, decoder=decoder)
     return out
 
 
@@ -153,6 +161,7 @@ def class_feature_study(decap_params, cfg, vlm_params, text_features,
     tf_proj = _l2n(h @ np.asarray(tp["fc2"]["kernel"])
                    + np.asarray(tp["fc2"]["bias"]))
     out = {}
+    decoder = make_greedy_decoder(decap_params, cfg)
     for c in range(tf_proj.shape[0]):
         key = f"{cls_type} {c}"
         if key not in sim_support:
@@ -162,7 +171,7 @@ def class_feature_study(decap_params, cfg, vlm_params, text_features,
         w = w / w.sum()                                     # softmax(sim*100)
         text_embedding = _l2n(w @ raw_support[key])
         out[key] = decode_feature(decap_params, cfg, text_embedding,
-                                  scale, tok)
+                                  scale, tok, decoder=decoder)
     return out
 
 
@@ -187,10 +196,12 @@ def pe_probe(decap_params, cfg, backbone_path: str, scale, tok,
     base = np.asarray(encode_text_tokens(params, tokens, tcfg))[0]
 
     out = {}
+    decoder = make_greedy_decoder(decap_params, cfg)
     for percent in percents:
         emb = base + PE[round(percent), :base.shape[-1]]
         out[percent] = decode_feature(decap_params, cfg,
-                                      emb.astype(np.float32), scale, tok)
+                                      emb.astype(np.float32), scale, tok,
+                                      decoder=decoder)
     return out
 
 
@@ -267,8 +278,10 @@ def main(argv=None):
     feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
 
     lines = []
+    decoder = make_greedy_decoder(params, cfg)
     for i, f in enumerate(feats[:args.limit]):
-        lines.append(decode_feature(params, cfg, f, scale, tok))
+        lines.append(decode_feature(params, cfg, f, scale, tok,
+                                    decoder=decoder))
         print(lines[-1])
     with open(args.output, "w") as fo:
         fo.write("\n".join(lines))

@@ -198,6 +198,103 @@ def greedy_decode(params: Dict, clip_feature: np.ndarray,
     return tokens, numbers
 
 
+def make_greedy_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
+                        max_len: int = 77):
+    """Device-resident greedy decoder: ONE jit call per caption.
+
+    `greedy_decode` above mirrors the reference's host loop
+    (decode.py:88-125): max_len jitted calls per caption, each re-running
+    the transformer over the whole (max_len+1)-row buffer — O(L^2) attention
+    FLOPs per token and one host<->device round-trip per token (over this
+    chip's serialized stdio relay, ~30 ms/call = ~2.3 s/caption of pure
+    RTT). This decoder is the TPU-native form: per-layer K/V caches
+    (n_layer, max_len, D), a single-token attention step (O(L) per token),
+    and the whole greedy loop — including the number-token interception and
+    the EOT early exit — inside one `lax.while_loop`, so a caption costs one
+    dispatch and compiles once per (params, cfg, max_len).
+
+    Returns fn(clip_feature) -> (tokens list, numbers list), exactly
+    `greedy_decode`'s contract (parity-tested in tests/test_decap.py).
+    """
+    max_len = min(max_len, cfg.n_positions - 1)
+    D, H = cfg.n_embd, cfg.n_head
+    hd = D // H
+    scale = hd ** -0.5
+    f32 = jnp.float32
+
+    def token_step(x, ck, cv, pos):
+        """One token through all blocks against the caches; returns
+        (next-token id, updated caches). Same math as decap_transformer
+        restricted to the live row (scale-on-q, fp32 softmax)."""
+        h = x + params["wpe"][pos].astype(f32)
+
+        def block(h, inp):
+            p, ckl, cvl = inp
+            hn = layer_norm(h[None], p["ln_1"]["scale"], p["ln_1"]["bias"])[0]
+            qp = linear(p["attn"]["q"], hn)
+            ckl = jax.lax.dynamic_update_index_in_dim(
+                ckl, linear(p["attn"]["k"], hn), pos, 0)
+            cvl = jax.lax.dynamic_update_index_in_dim(
+                cvl, linear(p["attn"]["v"], hn), pos, 0)
+            qh = (qp * scale).reshape(H, hd)
+            s = jnp.einsum("hd,lhd->hl", qh, ckl.reshape(max_len, H, hd),
+                           preferred_element_type=f32)
+            s = jnp.where((jnp.arange(max_len) <= pos)[None, :], s, -jnp.inf)
+            w = jax.nn.softmax(s.astype(f32), axis=-1)
+            att = jnp.einsum("hl,lhd->hd", w,
+                             cvl.reshape(max_len, H, hd)).reshape(D)
+            h = h + linear(p["attn"]["out"], att)
+            hn = layer_norm(h[None], p["ln_2"]["scale"], p["ln_2"]["bias"])[0]
+            h = h + linear(p["mlp"]["fc2"], gelu_new(linear(p["mlp"]["fc1"], hn)))
+            return h, (ckl, cvl)
+
+        h, caches = jax.lax.scan(block, h, (params["blocks"], ck, cv))
+        h = layer_norm(h[None], params["ln_f"]["scale"],
+                       params["ln_f"]["bias"])[0]
+        # row-product against the tied embedding, as in make_greedy_step
+        return jnp.argmax(h @ params["wte"].T).astype(jnp.int32), caches
+
+    @jax.jit
+    def decode(clip_feature):
+        prefix = project_prefix(
+            params, clip_feature.reshape(1, -1).astype(f32))[0]
+
+        def cond(st):
+            pos, _, _, _, _, _, _, done = st
+            return (pos < max_len) & ~done
+
+        def body(st):
+            pos, x, ck, cv, toks, nums, n_num, _ = st
+            nxt, (ck, cv) = token_step(x, ck, cv, pos)
+            is_num = nxt >= cfg.base_vocab
+            nums = jnp.where(is_num,
+                             nums.at[n_num].set(nxt - cfg.base_vocab), nums)
+            n_num = n_num + is_num.astype(jnp.int32)
+            nxt = jnp.where(is_num, jnp.int32(286), nxt)  # '?' (decode.py:111)
+            toks = toks.at[pos].set(nxt)
+            done = nxt == cfg.base_vocab - 1  # EOT
+            return (pos + 1, params["wte"][nxt].astype(f32), ck, cv,
+                    toks, nums, n_num, done)
+
+        st = (jnp.int32(0), prefix,
+              jnp.zeros((cfg.n_layer, max_len, D), f32),
+              jnp.zeros((cfg.n_layer, max_len, D), f32),
+              jnp.zeros((max_len,), jnp.int32),
+              jnp.zeros((max_len,), jnp.int32),
+              jnp.int32(0), jnp.bool_(False))
+        pos, _, _, _, toks, nums, n_num, _ = jax.lax.while_loop(
+            cond, body, st)
+        return toks, pos, nums, n_num
+
+    def run(clip_feature) -> Tuple[list, list]:
+        toks, n_tok, nums, n_num = jax.tree_util.tree_map(
+            np.asarray, decode(jnp.asarray(clip_feature)))
+        return ([int(t) for t in toks[:int(n_tok)]],
+                [int(v) for v in nums[:int(n_num)]])
+
+    return run
+
+
 def descale_number(n: float, entry: Dict, extra: Dict) -> float:
     """Invert the preprocess scaling (decode.py:165-177):
     value = ((n [- global_shift]) * graduated / weight - shift) * std + mean."""

@@ -78,6 +78,40 @@ def test_greedy_decode_runs(tiny_decap):
     assert all(t < 49408 for t in tokens)  # numbers intercepted
 
 
+def test_cached_decoder_matches_host_loop(tiny_decap):
+    """make_greedy_decoder (KV-cached, one jitted while_loop per caption)
+    must reproduce greedy_decode (the reference-mirroring host loop:
+    decode.py:88-125) token-for-token and number-for-number."""
+    from gava_clip_tpu.models.decap import make_greedy_decoder
+    decoder = make_greedy_decoder(tiny_decap, CFG, max_len=31)
+    rs = np.random.RandomState(3)
+    for _ in range(4):
+        feats = rs.randn(16).astype(np.float32)
+        want = greedy_decode(tiny_decap, feats, CFG, max_len=31)
+        got = decoder(feats)
+        assert got == want
+
+
+def test_cached_decoder_number_interception(tiny_decap):
+    """Craft the tied embedding so the first prediction is a number token:
+    both decoders must intercept it (emit '?' = 286, record the raw value)
+    identically, exercising the in-graph interception branch."""
+    from gava_clip_tpu.models.decap import (decap_transformer,
+                                            make_greedy_decoder,
+                                            project_prefix)
+    feats = np.random.RandomState(5).randn(16).astype(np.float32)
+    prefix = project_prefix(tiny_decap, jnp.asarray(feats)[None])
+    h0 = np.asarray(decap_transformer(tiny_decap, prefix[:, None, :], CFG))[0, 0]
+    wte = np.array(tiny_decap["wte"])
+    wte[49408 + 7] = 10.0 * h0 / np.linalg.norm(h0)
+    params = dict(tiny_decap, wte=jnp.asarray(wte))
+
+    tokens, numbers = greedy_decode(params, feats, CFG, max_len=12)
+    got_t, got_n = make_greedy_decoder(params, CFG, max_len=12)(feats)
+    assert tokens[0] == 286 and numbers[0] == 7
+    assert (got_t, got_n) == (tokens, numbers)
+
+
 def test_descale_number():
     entry = {"mean": 1.2, "std": 0.3, "shift": 0.0, "weight": 2.0}
     extra = {"graduated": 5.0 / 200, "l2_norm": "n/a", "global_shift": 100}

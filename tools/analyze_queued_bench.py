@@ -90,7 +90,8 @@ def main():
             print(f"  remat={k}: saved={s} ms, recompute={r} ms  {verdict}")
 
     for extra in ("unroll12.txt", "pm_sweep.txt", "autotune.txt",
-                  "ablate_w8a8.txt", "loadtest_tpu.json", "profile_train.txt"):
+                  "ablate_w8a8.txt", "bench_decode.txt",
+                  "loadtest_tpu.json", "profile_train.txt"):
         p = os.path.join(OUT, extra)
         if os.path.exists(p):
             print(f"\n## {extra} (tail)")

@@ -54,6 +54,9 @@ timeout 1200 python tools/autotune_kernels.py 2>&1 | tee "$OUT/autotune.txt"
 echo "== 6f. per-component w8a8 ablation (refreshed ceiling table) =="
 timeout 1200 python tools/ablate_w8a8.py 2>&1 | tee "$OUT/ablate_w8a8.txt"
 
+echo "== 6g. caption decode: KV-cached while_loop vs host loop =="
+timeout 900 python tools/bench_decode.py 2>&1 | tee "$OUT/bench_decode.txt"
+
 echo "== 7. HTTP server load test on TPU (flagship w8a8) =="
 timeout 1200 python tools/loadtest_server.py --full --quantize w8a8 \
     --clients 16 --requests 10 --batch_size 16 \
