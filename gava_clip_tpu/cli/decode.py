@@ -40,7 +40,14 @@ def decode_feature(params, cfg: DecapConfig, feature: np.ndarray,
     per token)."""
     tokenizer = tokenizer or ClipBpeTokenizer()
     tokens, numbers = (decoder or make_greedy_decoder(params, cfg))(feature)
+    return render_caption(tokens, numbers, scale_dict, tokenizer)
 
+
+def render_caption(tokens: list, numbers: list,
+                   scale_dict: Optional[Dict],
+                   tokenizer: ClipBpeTokenizer) -> str:
+    """Decoded (tokens, numbers) -> final gait sentence: SOT-to-comma
+    rewrite, BPE detokenize, '?' slots filled with (de-scaled) numbers."""
     # repeated SOT tokens become commas (decode.py:127-130)
     sot = 49406
     sot_ids = [i for i, t in enumerate(tokens) if t == sot]
@@ -277,11 +284,14 @@ def main(argv=None):
         feats = np.load(args.features).astype(np.float32)
     feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
 
+    # bulk path: batched KV-cached decoder — one dispatch per 8 captions
+    from ..models.decap import make_batched_decoder
+    take = feats[:args.limit]
+    decoded = make_batched_decoder(params, cfg,
+                                   batch=min(8, len(take)))(take)
     lines = []
-    decoder = make_greedy_decoder(params, cfg)
-    for i, f in enumerate(feats[:args.limit]):
-        lines.append(decode_feature(params, cfg, f, scale, tok,
-                                    decoder=decoder))
+    for tokens, numbers in decoded:
+        lines.append(render_caption(tokens, numbers, scale, tok))
         print(lines[-1])
     with open(args.output, "w") as fo:
         fo.write("\n".join(lines))

@@ -292,6 +292,93 @@ def make_greedy_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
         return ([int(t) for t in toks[:int(n_tok)]],
                 [int(v) for v in nums[:int(n_num)]])
 
+    run.token_step = token_step  # reused (vmapped) by make_batched_decoder
+    return run
+
+
+def make_batched_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
+                         max_len: int = 77, batch: int = 8):
+    """Batched form of make_greedy_decoder: vmapped single-token step,
+    one shared `lax.while_loop` (runs until every lane hits EOT or
+    max_len; finished lanes freeze via masking). One dispatch decodes
+    `batch` captions — bulk captioning (cli/decode.py --features with many
+    rows) rides the MXU batch dimension instead of looping captions.
+
+    Returns fn(features (N, prefix_size)) -> list of (tokens, numbers)
+    per row; N is padded up to a multiple of `batch` internally.
+    """
+    max_len = min(max_len, cfg.n_positions - 1)
+    D = cfg.n_embd
+    f32 = jnp.float32
+    # reuse the single-caption step math (vmapped over the batch lane)
+    _single = make_greedy_decoder(params, cfg, max_len)
+    token_step = _single.token_step  # (x, ck, cv, pos) -> (nxt, (ck, cv))
+
+    @jax.jit
+    def decode(feats):
+        prefix = project_prefix(params, feats.astype(f32))  # (B, D)
+        B = prefix.shape[0]
+
+        def cond(st):
+            pos, _, _, _, _, _, _, done = st
+            return (pos < max_len) & ~done.all()
+
+        def body(st):
+            pos, x, ck, cv, toks, nums, n_num, done = st
+            nxt, (ck, cv) = jax.vmap(
+                token_step, in_axes=(0, 0, 0, None))(x, ck, cv, pos)
+            active = ~done
+            is_num = (nxt >= cfg.base_vocab) & active
+            nums = jax.vmap(
+                lambda nu, idx, val, put:
+                jnp.where(put, nu.at[idx].set(val), nu))(
+                    nums, n_num, nxt - cfg.base_vocab, is_num)
+            n_num = n_num + is_num.astype(jnp.int32)
+            out = jnp.where(is_num, jnp.int32(286), nxt)
+            toks = jnp.where(active[:, None],
+                             toks.at[:, pos].set(out), toks)
+            done = done | (active & (out == cfg.base_vocab - 1))
+            n_tok_inc = active.astype(jnp.int32)
+            x = jnp.where(active[:, None],
+                          params["wte"][out].astype(f32), x)
+            return (pos + 1, x, ck, cv, toks,
+                    nums, n_num, done), n_tok_inc
+
+        # track per-lane lengths alongside the loop state
+        def body_with_len(st):
+            (*core, lens) = st
+            new_core, inc = body(tuple(core))
+            return (*new_core, lens + inc)
+
+        st = (jnp.int32(0), prefix,
+              jnp.zeros((B, cfg.n_layer, max_len, D), f32),
+              jnp.zeros((B, cfg.n_layer, max_len, D), f32),
+              jnp.zeros((B, max_len), jnp.int32),
+              jnp.zeros((B, max_len), jnp.int32),
+              jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
+              jnp.zeros((B,), jnp.int32))
+        out = jax.lax.while_loop(
+            lambda st: cond(st[:-1]), body_with_len, st)
+        _, _, _, _, toks, nums, n_num, _, lens = out
+        return toks, lens, nums, n_num
+
+    def run(features) -> list:
+        feats = np.asarray(features, np.float32)
+        N = feats.shape[0]
+        pad = (-N) % batch
+        if pad:
+            feats = np.concatenate([feats, np.zeros((pad, feats.shape[1]),
+                                                    np.float32)])
+        results = []
+        for i in range(0, feats.shape[0], batch):
+            toks, lens, nums, n_num = jax.tree_util.tree_map(
+                np.asarray, decode(jnp.asarray(feats[i:i + batch])))
+            for b in range(batch):
+                results.append((
+                    [int(t) for t in toks[b, :int(lens[b])]],
+                    [int(v) for v in nums[b, :int(n_num[b])]]))
+        return results[:N]
+
     return run
 
 

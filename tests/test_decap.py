@@ -112,6 +112,18 @@ def test_cached_decoder_number_interception(tiny_decap):
     assert (got_t, got_n) == (tokens, numbers)
 
 
+def test_batched_decoder_matches_host_loop(tiny_decap):
+    """make_batched_decoder (shared while_loop, vmapped token step, padded
+    lanes) must agree with the host loop per row — including rows that hit
+    EOT at different steps and the N % batch != 0 padding path."""
+    from gava_clip_tpu.models.decap import make_batched_decoder
+    rs = np.random.RandomState(7)
+    feats = rs.randn(5, 16).astype(np.float32)
+    want = [greedy_decode(tiny_decap, f, CFG, max_len=31) for f in feats]
+    got = make_batched_decoder(tiny_decap, CFG, max_len=31, batch=2)(feats)
+    assert got == want
+
+
 def test_descale_number():
     entry = {"mean": 1.2, "std": 0.3, "shift": 0.0, "weight": 2.0}
     extra = {"graduated": 5.0 / 200, "l2_norm": "n/a", "global_shift": 100}

@@ -27,6 +27,7 @@ if TINY:
 
 from gava_clip_tpu.models.decap import (DecapConfig, greedy_decode,
                                         init_decap_params,
+                                        make_batched_decoder,
                                         make_greedy_decoder)
 
 
@@ -64,7 +65,17 @@ def main():
     print(f"cached:    first {warm:.2f}s, steady {t_cached*1e3:.1f} ms/caption")
     print(f"decode speedup: {t_host/t_cached:.1f}x "
           f"({1e3/ (t_cached*1e3):.1f} captions/s cached)")
-    if cached != host:
+
+    bdec = make_batched_decoder(params, cfg, max_len=max_len, batch=reps)
+    feats_arr = np.stack(feats)
+    batched = bdec(feats_arr)  # compile
+    t0 = time.perf_counter()
+    batched = bdec(feats_arr)
+    t_b = (time.perf_counter() - t0) / reps
+    print(f"batched(B={reps}): {t_b*1e3:.1f} ms/caption "
+          f"({1e3/(t_b*1e3):.1f} captions/s) parity "
+          f"{'OK' if batched == host else 'MISMATCH'}")
+    if cached != host or batched != host:
         raise SystemExit(1)
 
 
