@@ -168,9 +168,19 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
     state, resume_step, _ = ckpt_lib.resume_from_checkpoint(state, mask, args)
 
     lcfg = loader_config_from_args(args)
+    # Multi-host: each process loads only its slice of the global batch
+    # (the reference's DistributedSampler role, dataloader.py:113-120);
+    # shard_batch(per_host=True) assembles the global array. The val loader
+    # stays global per host: eval batches are ragged across ranks
+    # (len % world != 0) and a per-rank slice would deadlock the collective
+    # eval step — duplicate decode is the safe price, matching the
+    # reference's rank-0 evaluate().
+    pidx, pcount = jax.process_index(), jax.process_count()
     val_loader = create_val_loader(lcfg)
-    train_loader = create_train_loader(lcfg, resume_step=resume_step)
-    memory_loader = create_memory_loader(lcfg, resume_step=resume_step)
+    train_loader = create_train_loader(lcfg, resume_step=resume_step,
+                                       rank=pidx, world_size=pcount)
+    memory_loader = create_memory_loader(lcfg, resume_step=resume_step,
+                                         rank=pidx, world_size=pcount)
 
     loss_cfg = LossConfig(
         num_classes=num_classes,
@@ -276,7 +286,7 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
             device_batch["mt_labels"] = jnp.asarray(mem_batch["mt_labels"])
         if mesh is not None:
             from ..parallel.mesh import shard_batch
-            device_batch = shard_batch(device_batch, mesh)
+            device_batch = shard_batch(device_batch, mesh, per_host=True)
         data_ed = time.time()
 
         if args.profile_dir and i == resume_step + 2:

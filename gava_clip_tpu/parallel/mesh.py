@@ -59,9 +59,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    """Place a host batch dict onto the mesh, sharded along the batch axis."""
+def shard_batch(batch: Dict, mesh: Mesh, per_host: bool = False) -> Dict:
+    """Place a host batch dict onto the mesh, sharded along the batch axis.
+
+    per_host=False: every leaf is the GLOBAL batch (available on every
+    process) — device_put slices out each process's addressable shards.
+    per_host=True: every leaf is this process's SLICE of the global batch
+    (loaders sliced by (process_index, process_count) — cli/train.py), the
+    multi-host production path: each host decodes only its own videos and
+    `make_array_from_process_local_data` assembles the global array without
+    any cross-host copy. Identical to the global path on one process.
+    """
     sh = batch_sharding(mesh)
+    if per_host and jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, gshape)
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

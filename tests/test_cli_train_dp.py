@@ -73,3 +73,23 @@ def test_mesh_sharded_evaluate_matches_unsharded(tmp_path):
     assert acc0 == acc1
     np.testing.assert_array_equal(conf0, conf1)
     assert conf0.sum() == 21
+
+
+def test_shard_batch_per_host_single_process_equals_global():
+    """shard_batch(per_host=True) is the multi-host production path
+    (process-local slices + make_array_from_process_local_data); on a
+    single process it must be exactly the global device_put path."""
+    import jax
+    import jax.numpy as jnp
+    from gava_clip_tpu.parallel.mesh import create_mesh, shard_batch
+
+    mesh = create_mesh(8)
+    rs = np.random.RandomState(0)
+    batch = {"video": rs.rand(8, 2, 4, 4, 3).astype(np.float32),
+             "labels": rs.randint(0, 3, size=8)}
+    glob = shard_batch(batch, mesh)
+    local = shard_batch(batch, mesh, per_host=True)
+    for k in batch:
+        assert glob[k].sharding == local[k].sharding
+        np.testing.assert_array_equal(np.asarray(glob[k]),
+                                      np.asarray(local[k]))
