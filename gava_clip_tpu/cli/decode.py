@@ -14,7 +14,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ..models.decap import (DecapConfig, descale_number, greedy_decode,
+from ..models.decap import (DecapConfig, descale_number,
                             make_greedy_decoder)
 from ..text import ClipBpeTokenizer
 
@@ -287,8 +287,9 @@ def main(argv=None):
     # bulk path: batched KV-cached decoder — one dispatch per 8 captions
     from ..models.decap import make_batched_decoder
     take = feats[:args.limit]
-    decoded = make_batched_decoder(params, cfg,
-                                   batch=min(8, len(take)))(take)
+    decoded = (make_batched_decoder(params, cfg,
+                                    batch=min(8, len(take)))(take)
+               if len(take) else [])
     lines = []
     for tokens, numbers in decoded:
         lines.append(render_caption(tokens, numbers, scale, tok))

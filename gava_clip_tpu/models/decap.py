@@ -315,9 +315,14 @@ def make_batched_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
     token_step = _single.token_step  # (x, ck, cv, pos) -> (nxt, (ck, cv))
 
     @jax.jit
-    def decode(feats):
+    def decode(feats, n_valid):
         prefix = project_prefix(params, feats.astype(f32))  # (B, D)
         B = prefix.shape[0]
+        # padding lanes start done=True: they freeze at step 0 instead of
+        # decoding garbage to max_len and stalling the shared loop (a
+        # ragged tail batch would otherwise cost up to max_len full
+        # vmapped steps for its pad lanes)
+        done0 = jnp.arange(B) >= n_valid
 
         def cond(st):
             pos, _, _, _, _, _, _, done = st
@@ -355,7 +360,7 @@ def make_batched_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
               jnp.zeros((B, cfg.n_layer, max_len, D), f32),
               jnp.zeros((B, max_len), jnp.int32),
               jnp.zeros((B, max_len), jnp.int32),
-              jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
+              jnp.zeros((B,), jnp.int32), done0,
               jnp.zeros((B,), jnp.int32))
         out = jax.lax.while_loop(
             lambda st: cond(st[:-1]), body_with_len, st)
@@ -365,6 +370,8 @@ def make_batched_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
     def run(features) -> list:
         feats = np.asarray(features, np.float32)
         N = feats.shape[0]
+        if N == 0:
+            return []
         pad = (-N) % batch
         if pad:
             feats = np.concatenate([feats, np.zeros((pad, feats.shape[1]),
@@ -372,7 +379,8 @@ def make_batched_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
         results = []
         for i in range(0, feats.shape[0], batch):
             toks, lens, nums, n_num = jax.tree_util.tree_map(
-                np.asarray, decode(jnp.asarray(feats[i:i + batch])))
+                np.asarray, decode(jnp.asarray(feats[i:i + batch]),
+                                   jnp.int32(min(batch, N - i))))
             for b in range(batch):
                 results.append((
                     [int(t) for t in toks[b, :int(lens[b])]],

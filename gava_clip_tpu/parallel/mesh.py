@@ -74,6 +74,12 @@ def shard_batch(batch: Dict, mesh: Mesh, per_host: bool = False) -> Dict:
     if per_host and jax.process_count() > 1:
         def put(x):
             x = np.asarray(x)
+            # precondition (enforced per-leaf; jax validates the rest):
+            # every process contributes an equally-shaped slice along a
+            # leading batch axis — the loaders guarantee this by slicing
+            # step_sampler grids per (rank, world_size)
+            assert x.ndim >= 1, \
+                "per-host batch leaves need a leading batch axis"
             gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
             return jax.make_array_from_process_local_data(sh, x, gshape)
         return jax.tree_util.tree_map(put, batch)

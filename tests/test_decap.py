@@ -114,14 +114,42 @@ def test_cached_decoder_number_interception(tiny_decap):
 
 def test_batched_decoder_matches_host_loop(tiny_decap):
     """make_batched_decoder (shared while_loop, vmapped token step, padded
-    lanes) must agree with the host loop per row — including rows that hit
-    EOT at different steps and the N % batch != 0 padding path."""
+    lanes) must agree with the host loop per row; with these random params
+    no lane hits EOT (full-length decode) — the staggered-EOT and
+    interception branches are pinned by the crafted test below."""
     from gava_clip_tpu.models.decap import make_batched_decoder
     rs = np.random.RandomState(7)
     feats = rs.randn(5, 16).astype(np.float32)
     want = [greedy_decode(tiny_decap, f, CFG, max_len=31) for f in feats]
     got = make_batched_decoder(tiny_decap, CFG, max_len=31, batch=2)(feats)
     assert got == want
+
+
+def test_batched_decoder_staggered_eot_and_interception(tiny_decap):
+    """Craft the tied embedding per lane: lane 0 emits EOT at step 0
+    (freezes while its chunk-mate keeps decoding), lane 2 opens with a
+    number token (batched interception), lane 1 decodes to max_len; with
+    batch=2 the second chunk also carries a zero-padded lane (frozen at
+    step 0 via the n_valid mask). Every lane must match the host loop and
+    the lane lengths must genuinely differ."""
+    from gava_clip_tpu.models.decap import (decap_transformer,
+                                            make_batched_decoder,
+                                            project_prefix)
+    rs = np.random.RandomState(11)
+    feats = rs.randn(3, 16).astype(np.float32)
+    prefix = project_prefix(tiny_decap, jnp.asarray(feats))
+    h0 = np.asarray(decap_transformer(tiny_decap, prefix[:, None, :], CFG))[:, 0]
+    wte = np.array(tiny_decap["wte"])
+    wte[49407] = 10.0 * h0[0] / np.linalg.norm(h0[0])     # lane 0 -> EOT
+    wte[49408 + 7] = 9.0 * h0[2] / np.linalg.norm(h0[2])  # lane 2 -> number
+    params = dict(tiny_decap, wte=jnp.asarray(wte))
+
+    want = [greedy_decode(params, f, CFG, max_len=12) for f in feats]
+    got = make_batched_decoder(params, CFG, max_len=12, batch=2)(feats)
+    assert got == want
+    assert want[0][0] == [49407]                       # EOT at step 0
+    assert want[2][0][0] == 286 and want[2][1][0] == 7  # intercepted
+    assert len({len(t) for t, _ in want}) >= 2          # staggered lengths
 
 
 def test_descale_number():
