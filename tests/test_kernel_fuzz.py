@@ -82,3 +82,53 @@ def test_w8a8_matmul_shape_fuzz():
                 err_msg=f"draw {i}: M={M} K={K} N={N}")
     finally:
         force_tpu_kernels(False)
+
+
+def _np_quant_rows(x):
+    amax = np.maximum(np.abs(x).max(axis=1, keepdims=True), 1e-6)
+    xs = amax / 127.0
+    return np.clip(np.rint(x / xs), -127, 127), xs
+
+
+def _np_ln(x, scale, bias, eps=1e-5):
+    mu = x.mean(axis=-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * scale + bias
+
+
+def test_w8a8_matmul3_shape_fuzz():
+    """Shared-quant LN+triple-GEMM at random shapes vs a numpy model of
+    the same math (LN -> one per-row quant -> three int8 dots)."""
+    from gava_clip_tpu.ops.int8_matmul import force_tpu_kernels, w8a8_matmul3
+    force_tpu_kernels(True)
+    try:
+        rs = np.random.RandomState(13)
+        for i in range(4):
+            M = int(rs.randint(1, 150))
+            K = int(rs.choice([32, 64, 128]))
+            N = int(rs.choice([24, 64, 100, 128]))
+            x = rs.randn(M, K).astype(np.float32) * 0.5
+            wq3 = tuple(rs.randint(-127, 128, (K, N)).astype(np.int8)
+                        for _ in range(3))
+            s3 = tuple(np.abs(rs.randn(1, N)).astype(np.float32) * 0.01
+                       for _ in range(3))
+            b3 = tuple(rs.randn(N).astype(np.float32) for _ in range(3))
+            ln = (rs.randn(K).astype(np.float32),
+                  rs.randn(K).astype(np.float32))
+
+            got = w8a8_matmul3(jnp.asarray(x),
+                               tuple(map(jnp.asarray, wq3)),
+                               tuple(map(jnp.asarray, s3)),
+                               bias3=tuple(map(jnp.asarray, b3)),
+                               ln=tuple(map(jnp.asarray, ln)))
+
+            xn = _np_ln(x, ln[0], ln[1])
+            xq, xs = _np_quant_rows(xn)
+            for j in range(3):
+                want = (xq @ wq3[j].astype(np.float32)) * xs * s3[j] + b3[j]
+                np.testing.assert_allclose(
+                    np.asarray(got[j], np.float32), want,
+                    atol=5e-3, rtol=5e-3,
+                    err_msg=f"draw {i} proj {j}: M={M} K={K} N={N}")
+    finally:
+        force_tpu_kernels(False)
