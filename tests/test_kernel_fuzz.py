@@ -132,3 +132,90 @@ def test_w8a8_matmul3_shape_fuzz():
                     err_msg=f"draw {i} proj {j}: M={M} K={K} N={N}")
     finally:
         force_tpu_kernels(False)
+
+
+def _np_quick_gelu(x):
+    return x / (1.0 + np.exp(-1.702 * x))
+
+
+def test_w8a8_mlp_res_shape_fuzz():
+    """Fused LN->fc1->QuickGELU->(requant)->fc2->+residual at random shapes
+    vs the numpy model of each stage."""
+    from gava_clip_tpu.ops.int8_matmul import force_tpu_kernels, w8a8_mlp_res
+    force_tpu_kernels(True)
+    try:
+        rs = np.random.RandomState(29)
+        for i in range(4):
+            M = int(rs.randint(1, 120))
+            K = int(rs.choice([32, 64, 128]))
+            H = int(rs.choice([48, 64, 128]))
+            x = rs.randn(M, K).astype(np.float32) * 0.5
+            res = rs.randn(M, K).astype(np.float32) * 0.5
+            mk = lambda k, n: {"kernel": {
+                "qa": jnp.asarray(rs.randint(-127, 128, (k, n)).astype(np.int8)),
+                "scale": jnp.asarray(np.abs(rs.randn(1, n)).astype(np.float32) * 0.01)},
+                "bias": jnp.asarray(rs.randn(n).astype(np.float32))}
+            fc1, fc2 = mk(K, H), mk(H, K)
+            ln = (rs.randn(K).astype(np.float32),
+                  rs.randn(K).astype(np.float32))
+
+            got = np.asarray(w8a8_mlp_res(
+                jnp.asarray(x), fc1, fc2, tuple(map(jnp.asarray, ln)),
+                jnp.asarray(res)), np.float32)
+
+            xn = _np_ln(x, ln[0], ln[1])
+            xq, xs = _np_quant_rows(xn)
+            h = (xq @ np.asarray(fc1["kernel"]["qa"], np.float32)) * xs \
+                * np.asarray(fc1["kernel"]["scale"]) + np.asarray(fc1["bias"])
+            h = _np_quick_gelu(h)
+            hq, hs = _np_quant_rows(h)
+            want = (hq @ np.asarray(fc2["kernel"]["qa"], np.float32)) * hs \
+                * np.asarray(fc2["kernel"]["scale"]) \
+                + np.asarray(fc2["bias"]) + res
+            np.testing.assert_allclose(
+                got, want, atol=1e-2, rtol=1e-2,
+                err_msg=f"draw {i}: M={M} K={K} H={H}")
+    finally:
+        force_tpu_kernels(False)
+
+
+def test_w8a8_matmul3_cat_fuzz_vs_concat():
+    """The VMEM-stitched two-input qkv kernel at random (B, Lx, Le) must
+    equal w8a8_matmul3 on the host-concatenated kv (both sublane-aligned),
+    for every clips_per_block that divides B."""
+    from gava_clip_tpu.ops.int8_matmul import (force_tpu_kernels,
+                                               w8a8_matmul3,
+                                               w8a8_matmul3_cat)
+    force_tpu_kernels(True)
+    try:
+        rs = np.random.RandomState(31)
+        for i in range(3):
+            B = int(rs.choice([2, 4]))
+            Lx = 8 * int(rs.randint(1, 5))
+            Le = 8 * int(rs.randint(1, 3))
+            K = int(rs.choice([32, 64]))
+            N = int(rs.choice([32, 64, 96]))
+            x = rs.randn(B, Lx, K).astype(np.float32) * 0.3
+            e = rs.randn(B, Le, K).astype(np.float32) * 0.3
+            wq3 = tuple(jnp.asarray(rs.randint(-127, 128, (K, N)).astype(np.int8))
+                        for _ in range(3))
+            s3 = tuple(jnp.asarray(np.abs(rs.randn(1, N)).astype(np.float32) * 0.01)
+                       for _ in range(3))
+            b3 = tuple(jnp.asarray(rs.randn(N).astype(np.float32))
+                       for _ in range(3))
+            ln = (jnp.asarray(rs.randn(K).astype(np.float32)),
+                  jnp.asarray(rs.randn(K).astype(np.float32)))
+
+            got = w8a8_matmul3_cat(jnp.asarray(x), jnp.asarray(e),
+                                   wq3, s3, bias3=b3, ln=ln,
+                                   clips_per_block=2)
+            cat = np.concatenate([x, e], axis=1).reshape(B * (Lx + Le), K)
+            want = w8a8_matmul3(jnp.asarray(cat), wq3, s3, bias3=b3, ln=ln)
+            for j in range(3):
+                np.testing.assert_allclose(
+                    np.asarray(got[j], np.float32).reshape(-1, N),
+                    np.asarray(want[j], np.float32), atol=5e-3, rtol=5e-3,
+                    err_msg=f"draw {i} proj {j}: B={B} Lx={Lx} Le={Le} "
+                            f"K={K} N={N}")
+    finally:
+        force_tpu_kernels(False)
