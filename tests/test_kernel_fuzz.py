@@ -219,3 +219,50 @@ def test_w8a8_matmul3_cat_fuzz_vs_concat():
                             f"K={K} N={N}")
     finally:
         force_tpu_kernels(False)
+
+
+def test_flash_attention_streaming_and_causal_fuzz():
+    """The packed-path fuzz above never reaches the streaming
+    (KV-blocked online-softmax) kernel (Lk <= 640 goes packed) nor the
+    causal path. Draws here pin both: causal at random short L (the text
+    tower / train decode shapes) and non-causal at Lk > 640 (streaming)."""
+    rs = np.random.RandomState(17)
+    # causal draws (streaming kernel handles causal at any L)
+    for i in range(3):
+        H = int(rs.choice([1, 2, 4]))
+        Dh = int(rs.choice([8, 16]))
+        D = H * Dh
+        B = int(rs.randint(1, 3))
+        L = int(rs.randint(2, 90))
+        q = jnp.asarray(rs.randn(B, L, D).astype(np.float32) * 0.2)
+        k = jnp.asarray(rs.randn(B, L, D).astype(np.float32) * 0.2)
+        v = jnp.asarray(rs.randn(B, L, D).astype(np.float32) * 0.2)
+        # the stock streaming kernel's backward must trace inside the
+        # interpret context on CPU (same convention as
+        # test_streaming_long_unaligned_with_grads)
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(flash_attention(q, k, v, H, causal=True))
+            g_got = jax.grad(
+                lambda a: flash_attention(a, k, v, H, causal=True).sum())(q)
+        want = np.asarray(_reference_attention(q, k, v, H, causal=True))
+        np.testing.assert_allclose(
+            got, want, atol=2e-5, rtol=1e-4,
+            err_msg=f"causal draw {i}: B={B} L={L} H={H} Dh={Dh}")
+        g_want = jax.grad(
+            lambda a: _reference_attention(a, k, v, H, causal=True).sum())(q)
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), atol=5e-5, rtol=1e-3,
+            err_msg=f"causal grad draw {i}: B={B} L={L} H={H} Dh={Dh}")
+
+    # one long non-causal draw past the packed threshold (streaming path)
+    H, Dh, B = 2, 16, 1
+    D = H * Dh
+    Lq, Lk = 37, 641 + int(rs.randint(0, 64))
+    q = jnp.asarray(rs.randn(B, Lq, D).astype(np.float32) * 0.2)
+    k = jnp.asarray(rs.randn(B, Lk, D).astype(np.float32) * 0.2)
+    v = jnp.asarray(rs.randn(B, Lk, D).astype(np.float32) * 0.2)
+    got = np.asarray(flash_attention(q, k, v, H))
+    want = np.asarray(_reference_attention(q, k, v, H))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4,
+                               err_msg=f"streaming: Lq={Lq} Lk={Lk}")
