@@ -243,3 +243,30 @@ def test_patch_major_w8a8_sidecar():
                                cfg, input_format="patches")
     np.testing.assert_allclose(np.asarray(q_feat), np.asarray(ref_feat),
                                atol=0.05)
+
+
+def test_non_default_patch_size_geometry():
+    """--patch_size is part of the reference's public flag surface
+    (training/train.py:91, default 16); pin a ViT-L/14-style non-16 patch:
+    conv embed == patch-major GEMM embed at patch 8 on a 24x24 input
+    (3x3 patch grid — odd token count exercises the pad/align paths)."""
+    import jax
+    import jax.numpy as jnp
+    from gava_clip_tpu.models.vision import (VisionConfig, init_vision_params,
+                                             patchify, vision_encoder)
+    cfg = VisionConfig(input_size=(24, 24), num_frames=2, feature_dim=32,
+                       patch_size=(8, 8), heads=2, layers=2,
+                       mlp_factor=2.0, embed_dim=16,
+                       use_summary_token=True, use_local_prompts=True,
+                       use_global_prompts=True, num_global_prompts=2)
+    params = init_vision_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(2)
+    video = jnp.asarray(rs.rand(2, 2, 24, 24, 3).astype(np.float32))
+    f_feat, f_sum = vision_encoder(params, video, cfg)
+    assert f_feat.shape[0] == 2
+    p_feat, p_sum = vision_encoder(params, patchify(video, cfg.patch_size),
+                                   cfg, input_format="patches")
+    np.testing.assert_allclose(np.asarray(p_feat), np.asarray(f_feat),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_sum), np.asarray(f_sum),
+                               rtol=2e-5, atol=2e-5)
