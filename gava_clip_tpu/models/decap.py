@@ -48,11 +48,17 @@ def gelu_new(x: jax.Array) -> jax.Array:
 
 
 def init_decap_params(rng, cfg: DecapConfig = DecapConfig()) -> Dict:
-    rngs = jax.random.split(rng, 8)
-    D = cfg.n_embd
+    """Init on host CPU, return numpy leaves. Eager init over the TPU relay
+    costs ~19 s (dozens of small dispatches through the serialized stdio
+    tunnel, measured 2026-08-19); the same ops on host CPU are ~0.2 s, and
+    threefry RNG is backend-deterministic so values are identical. numpy
+    leaves keep jit consumers free to commit them wherever they run
+    (same policy as VitaClip.__init__)."""
+    cpu = jax.devices("cpu")[0]
 
     def one_block(r):
         r1, r2, r3 = jax.random.split(r, 3)
+        D = cfg.n_embd
         return {
             "ln_1": init_layer_norm(D),
             "attn": init_attention(r1, D),
@@ -61,19 +67,24 @@ def init_decap_params(rng, cfg: DecapConfig = DecapConfig()) -> Dict:
                     "fc2": init_linear(r3, 4 * D, D)},
         }
 
-    block_rngs = jax.random.split(rngs[0], cfg.n_layer)
-    blocks = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *[one_block(r) for r in block_rngs])
-    return {
-        "wte": 0.02 * jax.random.normal(rngs[1], (cfg.vocab_size, D)),
-        "wpe": 0.01 * jax.random.normal(rngs[2], (cfg.n_positions, D)),
-        "blocks": blocks,
-        "ln_f": init_layer_norm(D),
-        "clip_project": {
-            "fc1": init_linear(rngs[3], cfg.prefix_size, D // 3, xavier=False),
-            "fc2": init_linear(rngs[4], D // 3, D, xavier=False),
-        },
-    }
+    with jax.default_device(cpu):
+        rngs = jax.random.split(rng, 8)
+        D = cfg.n_embd
+        block_rngs = jax.random.split(rngs[0], cfg.n_layer)
+        blocks = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[one_block(r) for r in block_rngs])
+        params = {
+            "wte": 0.02 * jax.random.normal(rngs[1], (cfg.vocab_size, D)),
+            "wpe": 0.01 * jax.random.normal(rngs[2], (cfg.n_positions, D)),
+            "blocks": blocks,
+            "ln_f": init_layer_norm(D),
+            "clip_project": {
+                "fc1": init_linear(rngs[3], cfg.prefix_size, D // 3,
+                                   xavier=False),
+                "fc2": init_linear(rngs[4], D // 3, D, xavier=False),
+            },
+        }
+    return jax.tree_util.tree_map(np.asarray, params)
 
 
 def project_prefix(params: Dict, clip_features: jax.Array) -> jax.Array:
@@ -154,19 +165,25 @@ def decap_loss(params: Dict, clip_features: jax.Array, tokens: jax.Array,
 def make_greedy_step(params: Dict, cfg: DecapConfig = DecapConfig(),
                      max_len: int = 78):
     """Fixed-shape greedy step: one compile for all positions. Returns
-    step(embed_buf (1, max_len, D), pos) -> next-token id at `pos`."""
+    step(embed_buf (1, max_len, D), pos) -> next-token id at `pos`.
+
+    `params` is a jit ARGUMENT (committed to device once here), not a
+    closure capture: closed-over arrays are baked into the HLO as
+    constants, and the 153 MB fp32 wte turned one compile into 247 s
+    through the relay's remote-compile helper (measured 2026-08-19)."""
+    params = jax.device_put(params)
 
     @jax.jit
-    def step(embed_buf, pos):
-        h = decap_transformer(params, embed_buf, cfg)
+    def step(p, embed_buf, pos):
+        h = decap_transformer(p, embed_buf, cfg)
         # index the one live row BEFORE the vocab projection: a single
         # (D,) @ (D, V) row-product instead of the full (max_len+1, V)
         # GEMM whose other rows are discarded (~max_len x less work per
         # decode step)
         row = jax.lax.dynamic_index_in_dim(h[0], pos, 0, keepdims=False)
-        return jnp.argmax(row @ params["wte"].T, axis=-1)
+        return jnp.argmax(row @ p["wte"].T, axis=-1)
 
-    return step
+    return lambda embed_buf, pos: step(params, embed_buf, pos)
 
 
 def greedy_decode(params: Dict, clip_feature: np.ndarray,
@@ -215,18 +232,23 @@ def make_greedy_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
 
     Returns fn(clip_feature) -> (tokens list, numbers list), exactly
     `greedy_decode`'s contract (parity-tested in tests/test_decap.py).
+
+    `params` rides as a jit ARGUMENT (committed to device once by this
+    factory) — closed over, the 153 MB fp32 wte becomes an HLO constant
+    and the relay's remote-compile helper took 247 s on it (2026-08-19).
     """
     max_len = min(max_len, cfg.n_positions - 1)
     D, H = cfg.n_embd, cfg.n_head
     hd = D // H
     scale = hd ** -0.5
     f32 = jnp.float32
+    params = jax.device_put(params)
 
-    def token_step(x, ck, cv, pos):
+    def token_step(pr, x, ck, cv, pos):
         """One token through all blocks against the caches; returns
-        (next-token id, updated caches). Same math as decap_transformer
+        (vocab logits row, updated caches). Same math as decap_transformer
         restricted to the live row (scale-on-q, fp32 softmax)."""
-        h = x + params["wpe"][pos].astype(f32)
+        h = x + pr["wpe"][pos].astype(f32)
 
         def block(h, inp):
             p, ckl, cvl = inp
@@ -248,16 +270,18 @@ def make_greedy_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
             h = h + linear(p["mlp"]["fc2"], gelu_new(linear(p["mlp"]["fc1"], hn)))
             return h, (ckl, cvl)
 
-        h, caches = jax.lax.scan(block, h, (params["blocks"], ck, cv))
-        h = layer_norm(h[None], params["ln_f"]["scale"],
-                       params["ln_f"]["bias"])[0]
-        # row-product against the tied embedding, as in make_greedy_step
-        return jnp.argmax(h @ params["wte"].T).astype(jnp.int32), caches
+        h, caches = jax.lax.scan(block, h, (pr["blocks"], ck, cv))
+        h = layer_norm(h[None], pr["ln_f"]["scale"],
+                       pr["ln_f"]["bias"])[0]
+        # row-product against the tied embedding, as in make_greedy_step;
+        # returns the LOGITS row (callers argmax) so numeric parity against
+        # the full-buffer path is checkable (tools/bench_decode.py)
+        return (h @ pr["wte"].T).astype(f32), caches
 
     @jax.jit
-    def decode(clip_feature):
+    def decode(pr, clip_feature):
         prefix = project_prefix(
-            params, clip_feature.reshape(1, -1).astype(f32))[0]
+            pr, clip_feature.reshape(1, -1).astype(f32))[0]
 
         def cond(st):
             pos, _, _, _, _, _, _, done = st
@@ -265,7 +289,8 @@ def make_greedy_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
 
         def body(st):
             pos, x, ck, cv, toks, nums, n_num, _ = st
-            nxt, (ck, cv) = token_step(x, ck, cv, pos)
+            logits, (ck, cv) = token_step(pr, x, ck, cv, pos)
+            nxt = jnp.argmax(logits).astype(jnp.int32)
             is_num = nxt >= cfg.base_vocab
             nums = jnp.where(is_num,
                              nums.at[n_num].set(nxt - cfg.base_vocab), nums)
@@ -273,7 +298,7 @@ def make_greedy_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
             nxt = jnp.where(is_num, jnp.int32(286), nxt)  # '?' (decode.py:111)
             toks = toks.at[pos].set(nxt)
             done = nxt == cfg.base_vocab - 1  # EOT
-            return (pos + 1, params["wte"][nxt].astype(f32), ck, cv,
+            return (pos + 1, pr["wte"][nxt].astype(f32), ck, cv,
                     toks, nums, n_num, done)
 
         st = (jnp.int32(0), prefix,
@@ -288,11 +313,12 @@ def make_greedy_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
 
     def run(clip_feature) -> Tuple[list, list]:
         toks, n_tok, nums, n_num = jax.tree_util.tree_map(
-            np.asarray, decode(jnp.asarray(clip_feature)))
+            np.asarray, decode(params, jnp.asarray(clip_feature)))
         return ([int(t) for t in toks[:int(n_tok)]],
                 [int(v) for v in nums[:int(n_num)]])
 
     run.token_step = token_step  # reused (vmapped) by make_batched_decoder
+    run.params = params          # device-committed copy, shared downstream
     return run
 
 
@@ -312,11 +338,12 @@ def make_batched_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
     f32 = jnp.float32
     # reuse the single-caption step math (vmapped over the batch lane)
     _single = make_greedy_decoder(params, cfg, max_len)
-    token_step = _single.token_step  # (x, ck, cv, pos) -> (nxt, (ck, cv))
+    token_step = _single.token_step  # (pr, x, ck, cv, pos) -> (nxt, caches)
+    params = _single.params          # device-committed once by the factory
 
     @jax.jit
-    def decode(feats, n_valid):
-        prefix = project_prefix(params, feats.astype(f32))  # (B, D)
+    def decode(pr, feats, n_valid):
+        prefix = project_prefix(pr, feats.astype(f32))  # (B, D)
         B = prefix.shape[0]
         # padding lanes start done=True: they freeze at step 0 instead of
         # decoding garbage to max_len and stalling the shared loop (a
@@ -330,8 +357,9 @@ def make_batched_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
 
         def body(st):
             pos, x, ck, cv, toks, nums, n_num, done = st
-            nxt, (ck, cv) = jax.vmap(
-                token_step, in_axes=(0, 0, 0, None))(x, ck, cv, pos)
+            logits, (ck, cv) = jax.vmap(
+                token_step, in_axes=(None, 0, 0, 0, None))(pr, x, ck, cv, pos)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             active = ~done
             is_num = (nxt >= cfg.base_vocab) & active
             nums = jax.vmap(
@@ -345,7 +373,7 @@ def make_batched_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
             done = done | (active & (out == cfg.base_vocab - 1))
             n_tok_inc = active.astype(jnp.int32)
             x = jnp.where(active[:, None],
-                          params["wte"][out].astype(f32), x)
+                          pr["wte"][out].astype(f32), x)
             return (pos + 1, x, ck, cv, toks,
                     nums, n_num, done), n_tok_inc
 
@@ -379,7 +407,7 @@ def make_batched_decoder(params: Dict, cfg: DecapConfig = DecapConfig(),
         results = []
         for i in range(0, feats.shape[0], batch):
             toks, lens, nums, n_num = jax.tree_util.tree_map(
-                np.asarray, decode(jnp.asarray(feats[i:i + batch]),
+                np.asarray, decode(params, jnp.asarray(feats[i:i + batch]),
                                    jnp.int32(min(batch, N - i))))
             for b in range(batch):
                 results.append((
