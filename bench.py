@@ -9,8 +9,10 @@ across the serving modes:
     per-token activation quant + int8 GEMMs + QuickGELU + residual in VMEM);
   * w8a8 + patch-major — clips ship as patch rows, the embed is one int8
     GEMM;
-  * (+candidates, TPU only) fused-extras kernel and int8 QK^T score dots —
-    each in its own jit closure with the trace-time flag held.
+  * (+candidates, opt-in via GAVA_BENCH_CANDIDATES=1) fused-extras kernel
+    and int8 QK^T score dots — each in its own jit closure with the
+    trace-time flag held. Both measured-REJECTED on-device
+    (queued_bench_r04/DECISIONS.md), hence off the default driver run.
 Every non-bf16 mode is gated by an on-device accuracy check (max
 softmax-prob delta vs bf16 <= 0.05, the repo-wide quantization tolerance).
 The headline number is the fastest mode that passes its gate. A B=1 p50
@@ -409,14 +411,18 @@ def main():
         params_w8a8, c=chain_pm, vid=video_pm, input_format="patches")
     record("clips_per_sec_w8a8_patch_major", cps_pm, pm_ok)
 
-    # candidate kernels (TPU only — the flags gate on kernels_active paths).
-    # GAVA_BENCH_NO_CANDIDATES=1 skips their two extra compile chains if a
-    # driver-side wall-clock budget ever demands the short form.
+    # candidate kernels: both were measured and REJECTED on-device
+    # (fused_extras 758.4 vs 770.5, +int8_qk 533.6 —
+    # queued_bench_r04/DECISIONS.md, 2026-08-19), so their two extra
+    # compile chains are now OPT-IN via GAVA_BENCH_CANDIDATES=1. Keeps the
+    # default driver run two relay-compiles shorter (less exposure to a
+    # degradation window mid-capture). Tiny mode still runs them so the
+    # full plumbing stays CPU-smoke-tested.
     cps_fx = cps_fxqk = 0.0
     d_fx = d_fxqk = None
     fx_ok = fxqk_ok = False
     if ((jax.default_backend() == "tpu" or tiny)
-            and not os.environ.get("GAVA_BENCH_NO_CANDIDATES")):
+            and (tiny or os.environ.get("GAVA_BENCH_CANDIDATES"))):
         # tiny mode runs the candidate closures too (the trace-time flags
         # are inert off-TPU, so they measure the XLA path — the point is
         # executing the gated_mode/record plumbing the driver will run)

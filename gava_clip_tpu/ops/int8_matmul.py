@@ -653,10 +653,15 @@ def w8a8_mlp(x: jax.Array, fc1, fc2, ln=None, block_m: int = 512):
 
 
 def w8a8_mlp_res(x: jax.Array, fc1, fc2, ln, residual: jax.Array,
-                 block_m: int = 512):
+                 block_m: int = 400):
     """w8a8_mlp with the residual add fused into the store: returns
     residual + MLP(LN(x)). Saves one full read+write pass over the
-    (M, N) activations per block."""
+    (M, N) activations per block.
+
+    block_m=400 from the on-device sweep at the serving headline shape
+    (M=25600 = 128 frames x 200 aligned query rows, 64 exact blocks):
+    0.7315 ms vs 512 -> 0.8914 / 640 -> 0.8692 / 856 -> 0.9050 / 256 ->
+    0.9751 (queued_bench_r04/autotune.txt, 2026-08-19 healthy window)."""
     from jax.experimental.pallas import tpu as pltpu
 
     M, K = x.shape
