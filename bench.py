@@ -421,8 +421,16 @@ def main():
     cps_fx = cps_fxqk = 0.0
     d_fx = d_fxqk = None
     fx_ok = fxqk_ok = False
-    if ((jax.default_backend() == "tpu" or tiny)
-            and (tiny or os.environ.get("GAVA_BENCH_CANDIDATES"))):
+    candidates_armed = (tiny or os.environ.get("GAVA_BENCH_CANDIDATES")
+                        in ("1", "true"))
+    if not candidates_armed:
+        # not-run != measured-at-zero: emit an explicit marker so a strict
+        # reader of the driver record can't misread the skip as a crash or
+        # a failed accuracy gate (ADVICE r4)
+        skip = "skipped (GAVA_BENCH_CANDIDATES unset; measured-rejected 2026-08-19)"
+        partial["clips_per_sec_fused_extras"] = skip
+        partial["clips_per_sec_fused_extras_int8_qk"] = skip
+    if (jax.default_backend() == "tpu" or tiny) and candidates_armed:
         # tiny mode runs the candidate closures too (the trace-time flags
         # are inert off-TPU, so they measure the XLA path — the point is
         # executing the gated_mode/record plumbing the driver will run)
@@ -493,8 +501,12 @@ def main():
         "clips_per_sec_bf16": round(cps_bf16, 1),
         "clips_per_sec_w8a8": round(cps_w8a8, 1),
         "clips_per_sec_w8a8_patch_major": round(cps_pm, 1),
-        "clips_per_sec_fused_extras": round(cps_fx, 1),
-        "clips_per_sec_fused_extras_int8_qk": round(cps_fxqk, 1),
+        "clips_per_sec_fused_extras": (
+            round(cps_fx, 1) if candidates_armed
+            else partial["clips_per_sec_fused_extras"]),
+        "clips_per_sec_fused_extras_int8_qk": (
+            round(cps_fxqk, 1) if candidates_armed
+            else partial["clips_per_sec_fused_extras_int8_qk"]),
         "w8a8_prob_delta_vs_bf16": (None if prob_delta is None
                                     else round(prob_delta, 4)),
         "pm_prob_delta_vs_bf16": (None if prob_delta_pm is None

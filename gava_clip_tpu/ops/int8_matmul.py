@@ -653,18 +653,23 @@ def w8a8_mlp(x: jax.Array, fc1, fc2, ln=None, block_m: int = 512):
 
 
 def w8a8_mlp_res(x: jax.Array, fc1, fc2, ln, residual: jax.Array,
-                 block_m: int = 400):
+                 block_m: int | None = None):
     """w8a8_mlp with the residual add fused into the store: returns
     residual + MLP(LN(x)). Saves one full read+write pass over the
     (M, N) activations per block.
 
-    block_m=400 from the on-device sweep at the serving headline shape
-    (M=25600 = 128 frames x 200 aligned query rows, 64 exact blocks):
-    0.7315 ms vs 512 -> 0.8914 / 640 -> 0.8692 / 856 -> 0.9050 / 256 ->
-    0.9751 (queued_bench_r04/autotune.txt, 2026-08-19 healthy window)."""
+    block_m default: 400 when M divides into exact 400-row blocks (the
+    on-device sweep shape — M=25600 = 128 frames x 200 aligned query
+    rows, 64 exact blocks: 0.7315 ms vs 512 -> 0.8914 / 640 -> 0.8692 /
+    856 -> 0.9050 / 256 -> 0.9751, queued_bench_r04/autotune.txt,
+    2026-08-19 healthy window), else 512 — the 400 win was only measured
+    at the aligned shape; at e.g. M=12608 a 400 grid leaves a 208-row
+    partial block and is unswept (ADVICE r4)."""
     from jax.experimental.pallas import tpu as pltpu
 
     M, K = x.shape
+    if block_m is None:
+        block_m = 400 if M % 400 == 0 else 512
     w1, s1 = fc1["kernel"]["qa"], fc1["kernel"]["scale"]
     w2, s2 = fc2["kernel"]["qa"], fc2["kernel"]["scale"]
     H = w1.shape[1]
