@@ -347,8 +347,14 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
                 writer.add_scalar("train/loss", loss_v, i + 1)
             if metrics_jsonl:
                 import json as _json
+                # "t" (wall clock) lets offline tools compute the SUSTAINED
+                # e2e rate between print steps — batch_time_s alone only
+                # times the print step itself, which pays the device sync
+                # for the whole pipelined window
                 rec = {"step": i, "loss": loss_v, "acc1": acc1,
-                       "batch_time_s": round(batch_ed - batch_st, 4)}
+                       "t": round(batch_ed, 3),
+                       "batch_time_s": round(batch_ed - batch_st, 4),
+                       "data_time_s": round(data_ed - batch_st, 4)}
                 for k in ("loss_mt", "loss_vm"):
                     if k in metrics:
                         rec[k] = float(metrics[k])
@@ -369,7 +375,8 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
                 import json as _json
                 with open(metrics_jsonl, "a") as mf:
                     mf.write(_json.dumps({"step": i + 1, "eval_acc": eval_acc,
-                                          "eval_macro_f1": eval_perf}) + "\n")
+                                          "eval_macro_f1": eval_perf,
+                                          "t": round(time.time(), 3)}) + "\n")
             if eval_perf >= best_perf:
                 best_perf, best_acc = eval_perf, eval_acc
                 save_conf = conf
