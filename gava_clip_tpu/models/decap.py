@@ -54,7 +54,9 @@ def init_decap_params(rng, cfg: DecapConfig = DecapConfig()) -> Dict:
     threefry RNG is backend-deterministic so values are identical. numpy
     leaves keep jit consumers free to commit them wherever they run
     (same policy as VitaClip.__init__)."""
-    cpu = jax.devices("cpu")[0]
+    # local_devices: jax.devices() leads with process 0's (non-addressable)
+    # devices on other ranks of a multi-process run
+    cpu = jax.local_devices(backend="cpu")[0]
 
     def one_block(r):
         r1, r2, r3 = jax.random.split(r, 3)

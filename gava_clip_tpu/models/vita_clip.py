@@ -112,7 +112,10 @@ class VitaClip:
         # initialize on host CPU: parameter init is thousands of tiny ops —
         # running them eagerly over a TPU tunnel is minutes of RPC latency;
         # jit moves the weights to device on first use anyway.
-        cpu = jax.devices("cpu")[0]
+        # local_devices, not devices: in a multi-process run jax.devices()
+        # leads with process 0's devices, which are NON-addressable on other
+        # ranks — init must land on a device this process owns
+        cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             r_vis, r_txt, r_prompt, r_head = jax.random.split(rng, 4)

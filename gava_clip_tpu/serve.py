@@ -95,8 +95,9 @@ class VideoClassifier:
             buffers = jax.device_put(model.buffers, replicated)
         else:
             self._data_sharding = None
-            self.params = jax.device_put(self.params, jax.devices()[0])
-            buffers = jax.device_put(model.buffers, jax.devices()[0])
+            dev = jax.local_devices()[0]  # a device this process owns
+            self.params = jax.device_put(self.params, dev)
+            buffers = jax.device_put(model.buffers, dev)
 
         def _fwd(p, clips_u8):
             if self.patch_major:
