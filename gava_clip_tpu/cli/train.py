@@ -57,7 +57,8 @@ def loader_config_from_args(args) -> LoaderConfig:
         add_nte=args.add_nte, num_steps=args.num_steps or 0,
         type=args.type, nfold=args.nfold, embed_dim=args.embed_dim,
         eval_all_views=getattr(args, 'eval_all_views', False),
-        allow_seek=getattr(args, 'allow_seek', True))
+        allow_seek=getattr(args, 'allow_seek', True),
+        cache_dir=getattr(args, 'decoded_cache_dir', '') or '')
 
 
 def _mean_std(args):
@@ -105,9 +106,12 @@ def evaluate(model, params, loader, num_classes: int, mean, std,
     """
     import jax.numpy as jnp
 
-    conf_dev = None
-    tot = hit1 = 0
-    for batch in loader:
+    # H2D runs on a prefetch thread (transfer batch k+1 while the device
+    # evaluates batch k) and both the hit count and the confusion matrix
+    # accumulate ON DEVICE — a per-batch int(h) sync would drain the
+    # pipeline every step (same serialization the r5 e2e train capture
+    # measured; see data/device_prefetch.py).
+    def _to_device(batch):
         video = np.asarray(batch["video"])
         labels = np.asarray(batch["labels"], np.int32)
         n = video.shape[0]
@@ -122,22 +126,32 @@ def evaluate(model, params, loader, num_classes: int, mean, std,
             video = video.reshape((B * V,) + video.shape[2:])
         else:
             V = 1
-        step = _get_eval_step(model, num_classes, mean, std, compute_dtype,
-                              attn_impl, V)
         dev = {"video": jnp.asarray(video), "labels": jnp.asarray(labels),
                "valid": jnp.asarray(valid)}
         if mesh is not None:
             from ..parallel.mesh import shard_batch
             dev = shard_batch(dev, mesh)
+        return dev, n, V
+
+    from ..data.device_prefetch import prefetch_to_device
+    conf_dev = None
+    hit_dev = None
+    tot = 0
+    n_batches = 0
+    for dev, n, V in prefetch_to_device(iter(loader), _to_device, size=2):
+        step = _get_eval_step(model, num_classes, mean, std, compute_dtype,
+                              attn_impl, V)
         h, c = step(params, dev["video"], dev["labels"], dev["valid"])
         conf_dev = c if conf_dev is None else conf_dev + c
+        hit_dev = h if hit_dev is None else hit_dev + h
         tot += n
-        hit1 += int(h)
-        if tot % 20 == 0:
+        n_batches += 1
+        if n_batches % 50 == 0:  # rare: each fetch drains the pipeline
             _log(f"[Evaluation] num_samples: {tot}  "
-                 f"cumulative_acc1: {hit1 / tot * 100.:.2f}%")
+                 f"cumulative_acc1: {int(hit_dev) / tot * 100.:.2f}%")
     conf = (np.asarray(conf_dev).astype(np.int64) if conf_dev is not None
             else np.zeros((num_classes, num_classes), np.int64))
+    hit1 = int(hit_dev) if hit_dev is not None else 0
     acc = hit1 / max(tot, 1) * 100
     _log(f"Accuracy on validation set: top1={acc:.2f}%")
     return acc, conf
@@ -257,8 +271,37 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
     except ValueError:          # non-main thread (tests drive this inline)
         prev_handler = None
 
-    for i, (batch, mem_batch) in enumerate(zip(train_loader, memory_loader),
-                                           start=resume_step):
+    # H2D prefetch: transfer batch N+1 (uint8 video + labels/nte/memory)
+    # from a background thread while the device executes step N — without
+    # it decode + transfer + step serialize (measured 1571 ms/step vs the
+    # 261 ms device step, queued_bench_r05/e2e_train.json). Augment stays
+    # in the main loop: it is step-indexed (fold_in(aug_key, i)) and its
+    # dispatch is async anyway.
+    def _to_device(pair):
+        batch, mem_batch = pair
+        db = {
+            "video": jnp.asarray(batch["video"]),
+            "labels": jnp.asarray(batch["labels"]),
+        }
+        if args.add_nte:
+            db["nte"] = jnp.asarray(batch["nte"])
+        if args.use_support_memory:
+            db["memory"] = jnp.asarray(mem_batch["memory"])
+            db["mt_labels"] = jnp.asarray(mem_batch["mt_labels"])
+        if mesh is not None:
+            db = shard_batch(db, mesh, per_host=True)
+        return db
+
+    pair_iter = zip(train_loader, memory_loader)
+    n_prefetch = getattr(args, "device_prefetch", 2)
+    if n_prefetch and n_prefetch > 0:
+        from ..data.device_prefetch import prefetch_to_device
+        device_iter = prefetch_to_device(pair_iter, _to_device,
+                                         size=n_prefetch)
+    else:
+        device_iter = map(_to_device, pair_iter)
+
+    for i, db in enumerate(device_iter, start=resume_step):
         if preempted["flag"]:
             _log(f"[preempt] SIGTERM received — checkpointing at step {i} "
                  "and exiting")
@@ -269,24 +312,16 @@ def train_one_fold(args, fold: int, classnames: List[str], num_classes: int,
             ckpt_lib.wait_for_saves()
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)
+            close = getattr(device_iter, "close", None)
+            if close is not None:   # join the prefetch thread before exit
+                close()
             raise SystemExit(0)
-        video_u8 = jnp.asarray(batch["video"])
         if augment is not None:
-            video = augment(jax.random.fold_in(aug_key, i), video_u8)
+            video = augment(jax.random.fold_in(aug_key, i), db["video"])
         else:
-            video = normalize_frames(video_u8, mean, std)
-        device_batch = {
-            "video": video,
-            "labels": jnp.asarray(batch["labels"]),
-        }
-        if args.add_nte:
-            device_batch["nte"] = jnp.asarray(batch["nte"])
-        if args.use_support_memory:
-            device_batch["memory"] = jnp.asarray(mem_batch["memory"])
-            device_batch["mt_labels"] = jnp.asarray(mem_batch["mt_labels"])
-        if mesh is not None:
-            from ..parallel.mesh import shard_batch
-            device_batch = shard_batch(device_batch, mesh, per_host=True)
+            video = normalize_frames(db["video"], mean, std)
+        device_batch = dict(db)
+        device_batch["video"] = video
         data_ed = time.time()
 
         if args.profile_dir and i == resume_step + 2:

@@ -31,6 +31,14 @@ def setup_data_args(parser: argparse.ArgumentParser):
     parser.add_argument('--mean', type=float, nargs='+')
     parser.add_argument('--std', type=float, nargs='+')
     parser.add_argument('--num_workers', type=int, default=10)
+    parser.add_argument('--decoded_cache_dir', type=str, default='',
+                        help='cache deterministic decoded uint8 views as '
+                             'npy under this dir; rereads skip cv2 decode '
+                             '(the 1-core host bottleneck)')
+    parser.add_argument('--device_prefetch', type=int, default=2,
+                        help='H2D read-ahead depth: transfer batch N+1 from '
+                             'a background thread while the device runs '
+                             'step N (0 disables)')
     parser.add_argument('--dummy_dataset', action='store_true')
     parser.add_argument('--auto_augment', type=str)
     parser.add_argument('--interpolation', type=str, default='bicubic')

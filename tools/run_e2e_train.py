@@ -326,6 +326,12 @@ def main():
         "value": round(float(np.median(rates)), 1) if rates else None,
         "sustained_ms_per_step_p90": (round(float(np.percentile(rates, 90)), 1)
                                       if rates else None),
+        # the relay oscillates (CLAUDE.md): p25 / best-4 windows show the
+        # healthy-window pipeline rate; the median absorbs degraded windows
+        "sustained_ms_per_step_p25": (round(float(np.percentile(rates, 25)), 1)
+                                      if rates else None),
+        "sustained_ms_per_step_best4": (round(float(np.mean(
+            np.sort(rates)[:4])), 1) if len(rates) >= 4 else None),
         "n_rate_windows": len(rates),
         "config": {"batch": args.batch, "frames": args.frames,
                    "steps_run1": args.steps, "print_freq": args.print_freq,
