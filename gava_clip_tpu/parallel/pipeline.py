@@ -11,10 +11,15 @@ TPU-native design:
     (leading-axis reshape (L, ...) -> (S, L/S, ...), one `jax.device_put`);
   * the moving activation hops stages via `jax.lax.ppermute` over ICI —
     the only cross-chip traffic is one microbatch activation per step;
-  * the schedule is a `lax.fori_loop` of M + S - 1 SPMD steps (GPipe fill +
+  * the schedule is a `lax.scan` of M + S - 1 SPMD steps (GPipe fill +
     drain; bubble fraction (S-1)/(M+S-1)); every stage runs its local
     `lax.scan` over L/S layers each step — one compiled block body, XLA
     pipelines weight prefetch exactly as in the sequential tower;
+  * TRAINING pipelines too: the schedule being a scan (all ops transposable,
+    incl. ppermute) makes pipeline_scan reverse-differentiable — jax.grad
+    through it runs the GPipe backward (reverse ppermute hops, per-stage
+    microbatch gradient accumulation) and matches the sequential tower's
+    gradients (tests/test_pipeline.py);
   * outputs return stage-sharded (each stage contributes its own (M, b, ...)
     buffer under out_specs P('pipe'); only the last stage's slice is real) —
     no in-loop collectives at all.
@@ -53,7 +58,8 @@ def stage_params(stacked, mesh: Mesh, axis: str = "pipe"):
 
 
 def pipeline_scan(block_fn: Callable, staged_params, x, mesh: Mesh,
-                  axis: str = "pipe", microbatches: int = 1):
+                  axis: str = "pipe", microbatches: int = 1,
+                  remat: bool = False):
     """Run `x` through the full layer stack with GPipe scheduling.
 
     block_fn(carry, layer_params) -> carry — the same body a sequential
@@ -64,11 +70,17 @@ def pipeline_scan(block_fn: Callable, staged_params, x, mesh: Mesh,
     staged_params: output of stage_params() — (S, L/S, ...) leaves sharded
     over `axis`.
 
+    remat: rematerialize the block body on the backward pass — each stage
+    then stores only the per-microbatch stage INPUTS (the GPipe activation
+    budget) instead of every layer's internals.
+
     Returns the carry after all L layers, numerically identical to the
     sequential scan (same per-layer order, same dtypes).
     """
     S = mesh.shape[axis]
     M = microbatches
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
 
     def split(leaf):
         B = leaf.shape[0]
@@ -103,7 +115,7 @@ def pipeline_scan(block_fn: Callable, staged_params, x, mesh: Mesh,
             lambda l: jnp.zeros((M,) + l.shape, l.dtype), zero_mb)
         perm = [(i, i + 1) for i in range(S - 1)]
 
-        def step(t, carry):
+        def step(carry, t):
             cur, outs = carry
             # stage 0 ingests microbatch t; later stages consume what
             # ppermute delivered last step (stage 0's incoming is the
@@ -125,9 +137,19 @@ def pipeline_scan(block_fn: Callable, staged_params, x, mesh: Mesh,
             outs = jax.tree_util.tree_map(emit, outs, y)
             nxt = jax.tree_util.tree_map(
                 lambda a: jax.lax.ppermute(a, axis, perm), y)
-            return (nxt, outs)
+            return (nxt, outs), None
 
-        _, outs = jax.lax.fori_loop(0, M + S - 1, step, (zero_mb, outs0))
+        # lax.scan, NOT fori_loop: scan is reverse-differentiable, so
+        # jax.grad through pipeline_scan yields the GPipe BACKWARD schedule
+        # for free — the transpose of each forward ppermute(i -> i+1) hop is
+        # the reverse ppermute(i+1 -> i) hop, the transpose of the stage-0
+        # ingest select is the cotangent scatter back into the microbatch
+        # buffer, and per-stage weight gradients accumulate across the
+        # M + S - 1 transposed steps (GPipe microbatch grad accumulation).
+        # Residuals: scan stores each step's saved values — the per-
+        # microbatch stage activations GPipe holds by design.
+        (_, outs), _ = jax.lax.scan(step, (zero_mb, outs0),
+                                    jnp.arange(M + S - 1))
         # return stage-sharded: each stage contributes its own buffer; only
         # the last stage's is the real output (selected by the caller) —
         # avoids any end-of-pipe collective

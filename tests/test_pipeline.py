@@ -92,6 +92,97 @@ def test_pipeline_real_vision_block():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("stages,microbatches,remat",
+                         [(2, 2, False), (4, 2, False), (2, 2, True)])
+def test_pipeline_backward_matches_sequential(stages, microbatches, remat):
+    """GPipe BACKWARD (VERDICT r4 #6): jax.grad through pipeline_scan (the
+    schedule is a lax.scan, every op incl. ppermute transposable) must
+    reproduce the sequential tower's gradients for both the stacked weights
+    and the input — i.e. the reverse ppermute schedule + per-stage
+    microbatch grad accumulation is exact, with and without block remat."""
+    rs = np.random.RandomState(5)
+    stacked = _toy_stack(L=4, rs=rs)
+    x = jnp.asarray(rs.randn(8, 16).astype(np.float32))
+    tgt = jnp.asarray(rs.randn(8, 16).astype(np.float32))
+
+    def seq_loss(params, xx):
+        def body(c, p):
+            return _toy_block(c, p), None
+        out, _ = jax.lax.scan(body, xx, params)
+        return jnp.mean((out - tgt) ** 2)
+
+    want_gp, want_gx = jax.grad(seq_loss, argnums=(0, 1))(stacked, x)
+
+    mesh = _pipe_mesh(stages)
+    staged = stage_params(stacked, mesh)
+
+    def pipe_loss(sp, xx):
+        out = pipeline_scan(_toy_block, sp, xx, mesh,
+                            microbatches=microbatches, remat=remat)
+        return jnp.mean((out - tgt) ** 2)
+
+    got_gp, got_gx = jax.grad(pipe_loss, argnums=(0, 1))(staged, x)
+    for k in stacked:
+        want = np.asarray(want_gp[k])
+        got = np.asarray(got_gp[k]).reshape(want.shape)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(want_gx),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_train_step_grads_real_block():
+    """Gradients through the REAL vision block pipelined over 2 stages ==
+    the sequential scan's — the pp surface trains, not just serves."""
+    from gava_clip_tpu.models.vision import VisionConfig, _block
+    from gava_clip_tpu.models.vita_clip import VitaClip, VitaClipConfig
+    tf = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    cfg = VisionConfig(input_size=(32, 32), num_frames=2, feature_dim=32,
+                       patch_size=(16, 16), heads=2, layers=4,
+                       mlp_factor=2.0, embed_dim=16,
+                       use_summary_token=True, use_local_prompts=True,
+                       use_global_prompts=True, num_global_prompts=2)
+    model = VitaClip(VitaClipConfig(vision=cfg, num_classes=3,
+                                    zeroshot_evaluation=True),
+                     zeroshot_text_features=tf)
+    vp = model.params["visual"]
+    rs = np.random.RandomState(9)
+    B, T, L_tok, D = 2, 2, 13, 32
+    h = jnp.asarray(rs.randn(B * T, L_tok, D).astype(np.float32) * 0.1)
+    s0 = jnp.zeros((B, T, D), jnp.float32)
+
+    def block_fn(carry, layer_params):
+        x, _ = carry
+        p, g = layer_params
+        x, summary = _block(p, g, x, cfg, "xla")
+        if summary is None:
+            summary = jnp.zeros((B, T, D), x.dtype)
+        return (x, summary)
+
+    def seq_loss(stacked):
+        def body(c, p):
+            return block_fn(c, p), None
+        (out_x, out_s), _ = jax.lax.scan(body, (h, s0), stacked)
+        return jnp.mean(out_x ** 2) + jnp.mean(out_s ** 2)
+
+    stacked = (vp["blocks"], vp["global_prompts"])
+    want = jax.grad(seq_loss)(stacked)
+
+    mesh = _pipe_mesh(2)
+    staged = stage_params(stacked, mesh)
+
+    def pipe_loss(sp):
+        out_x, out_s = pipeline_scan(block_fn, sp, (h, s0), mesh,
+                                     microbatches=2)
+        return jnp.mean(out_x ** 2) + jnp.mean(out_s ** 2)
+
+    got = jax.grad(pipe_loss)(staged)
+    flat_w, _ = jax.tree_util.tree_flatten(want)
+    flat_g, _ = jax.tree_util.tree_flatten(got)
+    for w, g in zip(flat_w, flat_g):
+        np.testing.assert_allclose(np.asarray(g).reshape(np.asarray(w).shape),
+                                   np.asarray(w), atol=2e-5, rtol=2e-5)
+
+
 def test_stage_params_validates_divisibility():
     mesh = _pipe_mesh(2)
     with pytest.raises(ValueError, match="not divisible"):
