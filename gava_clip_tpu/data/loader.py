@@ -51,6 +51,7 @@ class LoaderConfig:
     for_zero_shot: bool = False
     # misc
     allow_seek: bool = True  # False = sequential decode (VFR-safe parity)
+    cache_dir: str = ""      # uint8 decoded-view cache (datasets.py)
     num_workers: int = 4
     dummy_dataset: bool = False
     eval_all_views: bool = False
@@ -153,7 +154,7 @@ def create_train_loader(cfg: LoaderConfig, resume_step: int = 0,
             sampling_rate=-1 if cfg.tsn_sampling else cfg.sampling_rate,
             spatial_size=cfg.spatial_size, mirror=False, auto_augment=None,
             is_train=True, add_nte=cfg.add_nte, nte_dim=cfg.embed_dim,
-            allow_seek=cfg.allow_seek))
+            allow_seek=cfg.allow_seek, cache_dir=cfg.cache_dir))
     grid = step_sampler(len(ds), cfg.num_steps, cfg.batch_size,
                         rank=rank, world_size=world_size, resume_step=resume_step)
     return _Prefetcher(lambda idxs: _collate_video(ds, idxs), list(grid),
@@ -174,7 +175,8 @@ def create_val_loader(cfg: LoaderConfig, rank: int = 0, world_size: int = 1):
             random_sample=False, num_frames=cfg.num_frames,
             sampling_rate=-1 if cfg.tsn_sampling else cfg.sampling_rate,
             spatial_size=cfg.spatial_size, is_train=False,
-            return_all_views=cfg.eval_all_views, allow_seek=cfg.allow_seek))
+            return_all_views=cfg.eval_all_views, allow_seek=cfg.allow_seek,
+            cache_dir=cfg.cache_dir))
     order = eval_sampler(len(ds), rank, world_size)
     batches = [order[i:i + cfg.batch_size]
                for i in range(0, len(order), cfg.batch_size)]
@@ -191,7 +193,8 @@ def create_eval_loader(cfg: LoaderConfig, rank: int = 0, world_size: int = 1):
         num_temporal_views=cfg.num_temporal_views, random_sample=False,
         num_frames=cfg.num_frames, sampling_rate=1,
         spatial_size=cfg.spatial_size, is_train=False,
-        num_folds=cfg.nfold, cls_type=cfg.type, allow_seek=cfg.allow_seek))
+        num_folds=cfg.nfold, cls_type=cfg.type, allow_seek=cfg.allow_seek,
+        cache_dir=cfg.cache_dir))
     order = eval_sampler(len(ds), rank, world_size)
     batches = [order[i:i + cfg.batch_size]
                for i in range(0, len(order), cfg.batch_size)]
