@@ -25,7 +25,8 @@ class VideoClassifier:
     def __init__(self, model, params: Dict, classnames: Sequence[str],
                  batch_size: int = 16, mean=CLIP_MEAN, std=CLIP_STD,
                  compute_dtype=None, attn_impl: Optional[str] = None,
-                 quantize=False, mesh=None, patch_major: bool = False):
+                 quantize=False, mesh=None, patch_major: bool = False,
+                 pad_buckets: bool = True):
         """mesh: optional `jax.sharding.Mesh` with a 'data' axis — the
         serving batch shards across it (weights replicated), scaling
         throughput linearly over ICI with no inter-chip collectives except
@@ -37,7 +38,15 @@ class VideoClassifier:
         is one contiguous GEMM: no conv relayout, no normalize pass, and in
         w8a8 mode the embed runs on the int8 MXU (bench: 710.9 clips/s
         w8a8+patch-major vs 698.9 w8a8-frames at B=16). The host-side
-        patchify is a cheap numpy relayout."""
+        patchify is a cheap numpy relayout.
+
+        pad_buckets: pad partial batches to the next power of two instead
+        of the full serving batch. H2D bytes dominate partial-batch cost
+        (a 224^2 8f clip is 1.2 MB; padding 7 requests to 16 doubles the
+        transfer), so buckets [1,2,4,8,...,batch_size] transfer only what
+        the occupancy needs, at the price of one compiled executable per
+        bucket (warmup() compiles them all). Disabled automatically under
+        a mesh (bucket sizes would have to divide the data axis)."""
         import jax
         import jax.numpy as jnp
         from .utils.jax_cache import enable_compilation_cache
@@ -57,6 +66,7 @@ class VideoClassifier:
                 visual["patch_embed"], mean, std, self._patch_size)
             params = dict(params)
             params["visual"] = visual
+        self.pad_buckets = bool(pad_buckets) and mesh is None
         if mesh is not None and batch_size % mesh.shape["data"] != 0:
             raise ValueError(
                 f"serving batch {batch_size} must be divisible by the mesh "
@@ -128,27 +138,46 @@ class VideoClassifier:
     def from_model(cls, model, classnames: Sequence[str], **kw):
         return cls(model, model.params, classnames, **kw)
 
+    def _buckets(self):
+        if not self.pad_buckets:
+            return [self.batch_size]
+        out = []
+        b = 1
+        while b < self.batch_size:
+            out.append(b)
+            b *= 2
+        return out + [self.batch_size]
+
+    def _bucket(self, k: int) -> int:
+        for b in self._buckets():
+            if k <= b:
+                return b
+        return self.batch_size
+
     def warmup(self):
-        dummy = np.zeros((self.batch_size, self.num_frames, self.spatial_size,
-                          self.spatial_size, 3), np.uint8)
-        if self.patch_major:
-            from .models.vision import patchify
-            dummy = patchify(dummy, self._patch_size)
-        np.asarray(self._forward(self.params, dummy))
+        for b in self._buckets():
+            dummy = np.zeros((b, self.num_frames, self.spatial_size,
+                              self.spatial_size, 3), np.uint8)
+            if self.patch_major:
+                from .models.vision import patchify
+                dummy = patchify(dummy, self._patch_size)
+            np.asarray(self._forward(self.params, dummy))
         return self
 
     def classify_clips(self, clips_u8: np.ndarray) -> np.ndarray:
         """(N, T, S, S, 3) uint8 -> (N, n_cls) probabilities. Requests are
-        padded to the fixed serving batch (one executable per deployment)."""
+        padded to the next bucket (power of two up to the serving batch;
+        one compiled executable per bucket, see pad_buckets)."""
         import jax.numpy as jnp
         n = clips_u8.shape[0]
         probs = []
         for i in range(0, n, self.batch_size):
             chunk = clips_u8[i:i + self.batch_size]
             k = chunk.shape[0]
-            if k < self.batch_size:
+            b = self._bucket(k)
+            if k < b:
                 chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], self.batch_size - k, axis=0)])
+                    [chunk, np.repeat(chunk[-1:], b - k, axis=0)])
             if self.patch_major:
                 from .models.vision import patchify
                 chunk = patchify(np.ascontiguousarray(chunk),

@@ -13,7 +13,9 @@ has the full table).
 Endpoints:
   GET  /healthz               -> {"status": "ok"}
   GET  /v1/model              -> classifier metadata
+  GET  /v1/stats              -> batcher + handler phase counters
   POST /v1/classify_clip      -> body: .npy of (T, S, S, 3) uint8
+  POST /v1/classify_clip_raw  -> body: raw C-order uint8 pixels (no header)
   POST /v1/classify_video     -> body: raw video file bytes (any cv2 format)
 Responses: JSON {"label": str, "probs": [...]}.
 
@@ -51,8 +53,12 @@ class MicroBatcher:
         self.max_wait = max_wait_ms / 1e3
         self.q: "queue.Queue[_Pending]" = queue.Queue()
         # occupancy counters (read by tools/loadtest_server.py): mean
-        # requests-per-device-forward is the whole point of micro-batching
-        self.stats = {"batches": 0, "requests": 0}
+        # requests-per-device-forward is the whole point of micro-batching.
+        # stack_s / infer_s decompose the per-forward host cost: numpy
+        # batch assembly vs device transfer+forward+sync (the r4 TPU
+        # loadtest's unexplained 1.29 s p50 needed this breakdown)
+        self.stats = {"batches": 0, "requests": 0,
+                      "stack_s": 0.0, "infer_s": 0.0}
         self._stop = threading.Event()
         self.worker = threading.Thread(target=self._loop, daemon=True)
         self.worker.start()
@@ -77,11 +83,15 @@ class MicroBatcher:
                     batch.append(self.q.get(timeout=remaining))
                 except queue.Empty:
                     break
+            t_st = time.perf_counter()
             clips = np.stack([p.clip for p in batch])
+            t_in = time.perf_counter()
             self.stats["batches"] += 1
             self.stats["requests"] += len(batch)
+            self.stats["stack_s"] += t_in - t_st
             try:
                 probs = self.clf.classify_clips(clips)
+                self.stats["infer_s"] += time.perf_counter() - t_in
                 for p, pr in zip(batch, probs):
                     p.result = pr
             except Exception as e:  # surface device errors per request
@@ -105,6 +115,11 @@ class MicroBatcher:
 
 
 def make_handler(batcher: MicroBatcher, classifier):
+    # handler-side phase accumulators (all handler threads share them; the
+    # lock is uncontended relative to MB-scale body reads)
+    hstats = {"read_s": 0.0, "parse_s": 0.0, "respond_s": 0.0, "posts": 0}
+    hlock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet by default
             pass
@@ -120,6 +135,10 @@ def make_handler(batcher: MicroBatcher, classifier):
         def do_GET(self):
             if self.path == "/healthz":
                 return self._json(200, {"status": "ok"})
+            if self.path == "/v1/stats":
+                with hlock:
+                    h = dict(hstats)
+                return self._json(200, {**batcher.stats, **h})
             if self.path == "/v1/model":
                 return self._json(200, {
                     "classes": classifier.classnames,
@@ -134,16 +153,41 @@ def make_handler(batcher: MicroBatcher, classifier):
             return self.rfile.read(n)
 
         def do_POST(self):
+            import time as _time
             try:
+                want = (classifier.num_frames, classifier.spatial_size,
+                        classifier.spatial_size, 3)
                 if self.path == "/v1/classify_clip":
-                    clip = np.load(io.BytesIO(self._read_body()),
-                                   allow_pickle=False)
-                    want = (classifier.num_frames, classifier.spatial_size,
-                            classifier.spatial_size, 3)
+                    t0 = _time.perf_counter()
+                    body = self._read_body()
+                    t1 = _time.perf_counter()
+                    clip = np.load(io.BytesIO(body), allow_pickle=False)
+                    t2 = _time.perf_counter()
+                    with hlock:
+                        hstats["read_s"] += t1 - t0
+                        hstats["parse_s"] += t2 - t1
+                        hstats["posts"] += 1
                     if clip.shape != want or clip.dtype != np.uint8:
                         return self._json(400, {
                             "error": f"clip must be uint8 {want}, "
                                      f"got {clip.dtype} {clip.shape}"})
+                elif self.path == "/v1/classify_clip_raw":
+                    # fast path: body IS the C-order uint8 pixel buffer —
+                    # no .npy header, no np.load copy (frombuffer is a view;
+                    # the batcher's np.stack is the single copy)
+                    t0 = _time.perf_counter()
+                    body = self._read_body()
+                    t1 = _time.perf_counter()
+                    n_want = int(np.prod(want))
+                    if len(body) != n_want:
+                        return self._json(400, {
+                            "error": f"raw body must be {n_want} bytes "
+                                     f"(uint8 {want}), got {len(body)}"})
+                    clip = np.frombuffer(body, np.uint8).reshape(want)
+                    with hlock:
+                        hstats["read_s"] += t1 - t0
+                        hstats["parse_s"] += _time.perf_counter() - t1
+                        hstats["posts"] += 1
                 elif self.path == "/v1/classify_video":
                     with tempfile.NamedTemporaryFile(suffix=".mp4",
                                                      delete=False) as f:
@@ -157,8 +201,12 @@ def make_handler(batcher: MicroBatcher, classifier):
                     return self._json(404, {"error": "not found"})
                 probs = batcher.classify(clip)
                 label = classifier.classnames[int(np.argmax(probs))]
-                return self._json(200, {"label": label,
-                                        "probs": probs.tolist()})
+                t_r = _time.perf_counter()
+                r = self._json(200, {"label": label,
+                                     "probs": probs.tolist()})
+                with hlock:
+                    hstats["respond_s"] += _time.perf_counter() - t_r
+                return r
             except Exception as e:
                 return self._json(500, {"error": str(e)})
 

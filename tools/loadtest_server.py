@@ -58,6 +58,12 @@ def main():
     ap.add_argument("--full", action="store_true",
                     help="ViT-B/16 8-frame 224^2 (use on TPU; the tiny "
                          "default is for the 1-core CPU host)")
+    ap.add_argument("--raw", action="store_true",
+                    help="hit /v1/classify_clip_raw (headerless pixel "
+                         "body; skips the np.load parse+copy)")
+    ap.add_argument("--no_buckets", action="store_true",
+                    help="disable power-of-2 padding buckets (always pad "
+                         "partial batches to the full serving batch)")
     ap.add_argument("--port", type=int, default=18731)
     args = ap.parse_args()
 
@@ -68,7 +74,8 @@ def main():
                     else _build_tiny())
     clf = VideoClassifier.from_model(
         model, names, batch_size=args.batch_size,
-        quantize=args.quantize or False).warmup()
+        quantize=args.quantize or False,
+        pad_buckets=not args.no_buckets).warmup()
     httpd = serve(clf, host="127.0.0.1", port=args.port,
                   max_wait_ms=args.max_wait_ms)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -77,9 +84,14 @@ def main():
     T, S = clf.num_frames, clf.spatial_size
     rs = np.random.RandomState(0)
     clip = rs.randint(0, 255, (T, S, S, 3), np.uint8)
-    buf = io.BytesIO()
-    np.save(buf, clip)
-    body = buf.getvalue()
+    if args.raw:
+        endpoint = "/v1/classify_clip_raw"
+        body = clip.tobytes()
+    else:
+        endpoint = "/v1/classify_clip"
+        buf = io.BytesIO()
+        np.save(buf, clip)
+        body = buf.getvalue()
 
     lat = []
     lock = threading.Lock()
@@ -90,7 +102,7 @@ def main():
         my = []
         for _ in range(args.requests):
             t0 = time.perf_counter()
-            conn.request("POST", "/v1/classify_clip", body=body,
+            conn.request("POST", endpoint, body=body,
                          headers={"Content-Type": "application/octet-stream"})
             r = conn.getresponse()
             data = r.read()
@@ -107,7 +119,17 @@ def main():
     client0 = threading.Thread(target=client, args=(-1,))
     client0.start(); client0.join()
     lat.clear()
-    httpd.batcher.stats.update(batches=0, requests=0)
+    httpd.batcher.stats.update(batches=0, requests=0,
+                               stack_s=0.0, infer_s=0.0)
+
+    def fetch_stats():
+        conn = http.client.HTTPConnection("127.0.0.1", args.port, timeout=30)
+        conn.request("GET", "/v1/stats")
+        r = json.loads(conn.getresponse().read())
+        conn.close()
+        return r
+
+    stats_before = fetch_stats()
 
     threads = [threading.Thread(target=client, args=(i,))
                for i in range(args.clients)]
@@ -121,6 +143,8 @@ def main():
     n = len(lat)
     lat_ms = np.sort(np.array(lat)) * 1e3
     stats = httpd.batcher.stats
+    hs = {k: fetch_stats()[k] - stats_before.get(k, 0)
+          for k in ("read_s", "parse_s", "respond_s", "posts")}
     out = {
         "metric": "server loopback load test (/v1/classify_clip)",
         "model": "ViT-B/16 8f" if args.full else "tiny 2-layer 32^2",
@@ -137,6 +161,23 @@ def main():
         "mean_batch_occupancy": round(stats["requests"] /
                                       max(stats["batches"], 1), 2),
         "device_forwards": stats["batches"],
+        "endpoint": endpoint,
+        "pad_buckets": not args.no_buckets,
+        # host-path breakdown (VERDICT r4 #5): per-request handler phases
+        # and per-forward batcher phases; anything left of p50 after these
+        # is queue/coalesce wait + GIL contention with the loopback clients
+        "breakdown_ms": {
+            "body_read_per_req": round(hs["read_s"] / max(hs["posts"], 1)
+                                       * 1e3, 2),
+            "parse_per_req": round(hs["parse_s"] / max(hs["posts"], 1)
+                                   * 1e3, 2),
+            "respond_per_req": round(hs["respond_s"] / max(hs["posts"], 1)
+                                     * 1e3, 2),
+            "stack_per_forward": round(stats["stack_s"] /
+                                       max(stats["batches"], 1) * 1e3, 2),
+            "transfer_fwd_sync_per_forward": round(
+                stats["infer_s"] / max(stats["batches"], 1) * 1e3, 2),
+        },
     }
     print(json.dumps(out))
     if errors:
