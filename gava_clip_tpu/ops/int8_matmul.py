@@ -538,13 +538,20 @@ def _w8a8_kernel3_cat(x_ref, e_ref, wq_ref, wk_ref, wv_ref, s_ref, b_ref,
 
 
 def w8a8_matmul3_cat(x, e, wq3, scale3, bias3=None, ln=None,
-                     clips_per_block: int = 4):
+                     clips_per_block: int = 2):
     """Shared-quant triple GEMM over the interleaved [x-rows; extras-rows]
     per-clip kv layout WITHOUT materializing the concatenated kv in HBM.
 
     x (B, Lx, K) and e (B, Le, K) with Lx, Le multiples of 8 (the
     sublane-aligned serving layout); returns three (B, Lx+Le, N) arrays.
     Requires B % clips_per_block == 0.
+
+    clips_per_block default 2: fastest in both r05 healthy-window sweeps
+    at the serving shape (BT=128, Lx=200, Le=24 — 0.3501/0.3607 ms vs
+    cpb=4's 0.3526/0.3796, cpb=1's 0.3843; cpb>=8 is a compiler crash,
+    the >=1792-row block overflows VMEM), confirmed by the same-window
+    full-model A/B together with the MLP block_m change: 761.2 -> 777.0
+    clips/s (queued_bench_r05/DECISIONS.md).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -658,18 +665,23 @@ def w8a8_mlp_res(x: jax.Array, fc1, fc2, ln, residual: jax.Array,
     residual + MLP(LN(x)). Saves one full read+write pass over the
     (M, N) activations per block.
 
-    block_m default: 400 when M divides into exact 400-row blocks (the
-    on-device sweep shape — M=25600 = 128 frames x 200 aligned query
-    rows, 64 exact blocks: 0.7315 ms vs 512 -> 0.8914 / 640 -> 0.8692 /
-    856 -> 0.9050 / 256 -> 0.9751, queued_bench_r04/autotune.txt,
-    2026-08-19 healthy window), else 512 — the 400 win was only measured
-    at the aligned shape; at e.g. M=12608 a 400 grid leaves a 208-row
-    partial block and is unswept (ADVICE r4)."""
+    block_m default: 640 when M divides into exact 640-row blocks — the
+    r05 sweep at the serving shape (M=25600 = 128 frames x 200 aligned
+    query rows) measured 640 fastest in two independent healthy windows
+    (0.9018/0.9043 ms vs 400 -> 0.9378/0.9384, 512 -> 0.9108/0.9249,
+    856 -> 0.9089/0.9197; >=1024 is a compiler crash: the fp32 hidden
+    tile alone is >=12.6 MB of VMEM), and the same-window FULL-MODEL A/B
+    confirmed it end-to-end: 761.2 -> 777.0 clips/s together with the
+    qkv-cat clips_per_block 4 -> 2 (queued_bench_r05/DECISIONS.md;
+    r04's one-off 0.73 ms @400 did not reproduce). Else 400 when M
+    divides into 400-row blocks (the r04-swept choice), else 512 —
+    partial-block geometries are unswept (ADVICE r4)."""
     from jax.experimental.pallas import tpu as pltpu
 
     M, K = x.shape
     if block_m is None:
-        block_m = 400 if M % 400 == 0 else 512
+        block_m = (640 if M % 640 == 0
+                   else 400 if M % 400 == 0 else 512)
     w1, s1 = fc1["kernel"]["qa"], fc1["kernel"]["scale"]
     w2, s2 = fc2["kernel"]["qa"], fc2["kernel"]["scale"]
     H = w1.shape[1]

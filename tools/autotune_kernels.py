@@ -66,15 +66,26 @@ def try_config(label: str, fn, *args):
             return chain_time(fn, *args) * 1e3, None
         except Exception as ex:
             msg = f"{type(ex).__name__}: {ex}"
-            transient = any(t in msg for t in _TRANSIENT_MARKERS)
-            if transient and attempt == 1:
+            # "tpu_compile_helper subprocess exit code N" is the remote
+            # compiler CRASHING, not the relay dropping: it reproduced
+            # 4/4 across two healthy windows (2026-08-19) on exactly the
+            # VMEM-scale blocks (mlp block_m>=1024 holds a >=12.6 MB fp32
+            # hidden tile; cat cpb>=8 a >=1792-row activation block) while
+            # neighbouring configs compiled fine seconds apart. One retry
+            # still guards the rare mid-compile relay drop.
+            crash = "subprocess exit code" in msg
+            transient = (not crash
+                         and any(t in msg for t in _TRANSIENT_MARKERS))
+            if (transient or crash) and attempt == 1:
                 print(f"{label}: transient relay failure — retrying once "
                       f"({msg[:90]})", flush=True)
                 time.sleep(5)
                 continue
             kind = ("RELAY-TRANSIENT (retry exhausted; rerun in a healthy "
                     "window)" if transient
-                    else "INVALID CONFIG (compile/VMEM)")
+                    else "INVALID CONFIG (compiler crash at VMEM-scale "
+                         "block — reproduced across healthy windows)"
+                    if crash else "INVALID CONFIG (compile/VMEM)")
             return None, f"{kind}: {msg[:140]}"
 
 
