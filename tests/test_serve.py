@@ -36,6 +36,48 @@ def test_classify_clips_padding(tiny_classifier):
     np.testing.assert_allclose(probs[:4], probs2, atol=1e-5)
 
 
+def test_bucket_selection(tiny_classifier):
+    """Padding buckets are powers of two capped at the serving batch; a
+    request of k clips transfers the smallest bucket >= k (H2D bytes
+    dominate partial-batch cost through the relay — serve.py docstring)."""
+    assert tiny_classifier._buckets() == [1, 2, 4]
+    assert [tiny_classifier._bucket(k) for k in (1, 2, 3, 4)] == [1, 2, 4, 4]
+    clf = VideoClassifier(tiny_classifier.model, tiny_classifier.model.params,
+                          tiny_classifier.classnames, batch_size=6)
+    assert clf._buckets() == [1, 2, 4, 6]
+    assert clf._bucket(5) == 6
+    clf_nb = VideoClassifier(tiny_classifier.model,
+                             tiny_classifier.model.params,
+                             tiny_classifier.classnames, batch_size=4,
+                             pad_buckets=False)
+    assert clf_nb._buckets() == [4]
+    assert clf_nb._bucket(1) == 4
+
+
+def test_bucketed_matches_unbucketed(tiny_classifier):
+    """Bucketed padding must not change probabilities vs padding every
+    partial batch to the full serving batch."""
+    clf_nb = VideoClassifier(tiny_classifier.model, tiny_classifier.model.params,
+                             tiny_classifier.classnames, batch_size=4,
+                             pad_buckets=False)
+    rs = np.random.RandomState(7)
+    for n in (1, 3, 5):
+        clips = rs.randint(0, 255, (n, 2, 32, 32, 3), np.uint8)
+        np.testing.assert_allclose(tiny_classifier.classify_clips(clips),
+                                   clf_nb.classify_clips(clips), atol=1e-5)
+
+
+def test_buckets_disabled_under_mesh(tiny_classifier):
+    """Bucket sizes would have to divide the data axis — serving under a
+    mesh pads to the full batch instead."""
+    from gava_clip_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh(n_devices=4)
+    clf = VideoClassifier(tiny_classifier.model, tiny_classifier.model.params,
+                          tiny_classifier.classnames, batch_size=4, mesh=mesh)
+    assert clf.pad_buckets is False
+    assert clf._buckets() == [4]
+
+
 def test_classify_video(tiny_classifier, tmp_path):
     import cv2
     p = tmp_path / "v.mp4"

@@ -101,6 +101,42 @@ def test_bad_clip_shape(server):
     assert e.value.code == 400
 
 
+def test_classify_clip_raw(server):
+    """Raw-bytes fast path: the body IS the C-order uint8 pixel buffer —
+    same result as the .npy endpoint without the header/parse copy."""
+    base, _ = server
+    clip = np.full((T, S, S, 3), 4, np.uint8)
+    out = _post(base + "/v1/classify_clip_raw", clip.tobytes())
+    assert out["label"] == "b"          # 4 % 3 == 1
+    assert len(out["probs"]) == NCLS
+
+
+def test_classify_clip_raw_bad_length(server):
+    base, _ = server
+    req = urllib.request.Request(base + "/v1/classify_clip_raw",
+                                 data=b"\x00" * 17, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    body = json.loads(e.value.read())
+    assert "bytes" in body["error"]
+
+
+def test_stats_endpoint_decomposes_host_path(server):
+    """/v1/stats must expose the batcher occupancy counters and the
+    handler phase accumulators (read/parse/respond) that decompose the
+    serving host path (VERDICT r4 #5)."""
+    base, _ = server
+    _post(base + "/v1/classify_clip", _clip_bytes(1))
+    _post(base + "/v1/classify_clip_raw",
+          np.full((T, S, S, 3), 2, np.uint8).tobytes())
+    stats = _get(base + "/v1/stats")
+    assert stats["posts"] == 2
+    assert stats["requests"] >= 2 and stats["batches"] >= 1
+    for k in ("read_s", "parse_s", "respond_s", "stack_s", "infer_s"):
+        assert k in stats and stats[k] >= 0.0
+
+
 def test_classify_video(server, tmp_path):
     import cv2
     base, _ = server
